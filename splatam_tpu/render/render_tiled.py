@@ -1,0 +1,161 @@
+"""Production tile-binned rasterizer (jnp path, XLA-autodiff backward).
+
+Static-shape re-expression of the CUDA render kernel
+(`cuda_rasterizer/forward.cu:261-393`): per-tile depth-sorted instance lists
+(from `binning.py`) are blended front-to-back in fixed-size chunks under a
+`lax.scan`, with the sequential transmittance recursion expressed in closed
+form per chunk (exclusive cumprod). Gradients — including the full chain to
+3D means/covariance/scale/rotation/opacity/color that the reference computes
+by hand in `cuda_rasterizer/backward.cu` — come from XLA reverse-mode AD
+through this function; the Pallas kernels (render_pallas.py) are validated
+against it.
+
+The chunk body is rematerialized (jax.checkpoint) so the backward pass
+recomputes alphas instead of storing O(T * 256 * chunk) activations per step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splatam_tpu.render.camera import Camera
+from splatam_tpu.render.geometry import (
+    ALPHA_CAP,
+    ALPHA_MIN,
+    MEDIAN_DEPTH_INIT,
+    T_STOP,
+    TILE,
+    preprocess,
+)
+from splatam_tpu.render.binning import Binned, RasterConfig, bin_gaussians
+from splatam_tpu.render.reference import RenderOutput
+
+
+class RenderAux(NamedTuple):
+    overflow: jax.Array  # () bool
+    num_instances: jax.Array  # () int32
+
+
+def _tile_pixel_coords(cam: Camera):
+    """Global (x, y) pixel coordinates per (tile, pixel-in-tile)."""
+    grid_x = (cam.image_width + TILE - 1) // TILE
+    grid_y = (cam.image_height + TILE - 1) // TILE
+    t = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    tx, ty = t % grid_x, t // grid_x
+    p = jnp.arange(TILE * TILE, dtype=jnp.int32)
+    lx, ly = p % TILE, p // TILE
+    px = tx[:, None] * TILE + lx[None, :]
+    py = ty[:, None] * TILE + ly[None, :]
+    return px.astype(jnp.float32), py.astype(jnp.float32), grid_x, grid_y
+
+
+def rasterize_tiled(
+    means3d: jax.Array,
+    colors: jax.Array,
+    opacities: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    cam: Camera,
+    cfg: RasterConfig = RasterConfig(),
+    active: jax.Array | None = None,
+    means2d_dummy: jax.Array | None = None,
+) -> tuple[RenderOutput, RenderAux]:
+    """Render RGB (or arbitrary 3-channel features) + median depth.
+
+    ``means2d_dummy`` is an all-zeros (N, 2) array in NDC units whose gradient
+    equals the reference's returned dL/dmeans2D (`backward.cu:705-709` NDC
+    scaling) — used by Inria-style densification thresholds.
+    """
+    opacities = opacities.reshape(-1)
+    proj = preprocess(means3d, scales, rotations, cam, active=active)
+    binned = bin_gaussians(
+        jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg
+    )
+
+    blend_xy = proj.means2d
+    if means2d_dummy is not None:
+        scale_ndc = jnp.array(
+            [0.5 * cam.image_width, 0.5 * cam.image_height], dtype=jnp.float32
+        )
+        blend_xy = blend_xy + means2d_dummy * scale_ndc
+
+    px, py, grid_x, grid_y = _tile_pixel_coords(cam)
+    num_tiles = grid_x * grid_y
+    npix = TILE * TILE
+
+    def chunk_body(carry, idx_chunk):
+        t_run, dead, color_acc, depth_acc = carry
+        empty = idx_chunk < 0
+        g = jnp.maximum(idx_chunk, 0)
+
+        xy = blend_xy[g]  # (T, C, 2)
+        con = proj.conic[g]  # (T, C, 3)
+        op = opacities[g]  # (T, C)
+        col = colors[g]  # (T, C, 3)
+        dep = proj.depths[g]  # (T, C)
+
+        dx = xy[..., 0][:, None, :] - px[:, :, None]  # (T, P, C)
+        dy = xy[..., 1][:, None, :] - py[:, :, None]
+        a = con[..., 0][:, None, :]
+        b = con[..., 1][:, None, :]
+        c = con[..., 2][:, None, :]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        alpha = jnp.minimum(ALPHA_CAP, op[:, None, :] * jnp.exp(power))
+        alpha = jnp.where(
+            (power > 0.0) | (alpha < ALPHA_MIN) | empty[:, None, :], 0.0, alpha
+        )
+
+        one_minus = 1.0 - alpha
+        t_cum = t_run[..., None] * jnp.cumprod(one_minus, axis=-1)  # (T, P, C)
+        t_before = jnp.concatenate([t_run[..., None], t_cum[..., :-1]], axis=-1)
+        live = (t_cum >= T_STOP) & ~dead[..., None]
+
+        w = alpha * t_before * live
+        color_acc = color_acc + jnp.einsum(
+            "tpc,tcf->tpf", w, col, precision=jax.lax.Precision.HIGHEST
+        )
+        crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+        depth_acc = depth_acc + jnp.sum(
+            jnp.where(crossing, dep[:, None, :], 0.0), axis=-1
+        )
+
+        t_run = t_run * jnp.prod(jnp.where(live, one_minus, 1.0), axis=-1)
+        dead = dead | (t_cum[..., -1] < T_STOP)
+        return (t_run, dead, color_acc, depth_acc), None
+
+    carry0 = (
+        jnp.ones((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.bool_),
+        jnp.zeros((num_tiles, npix, 3), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+    )
+    idx_chunks = binned.bucket.reshape(num_tiles, cfg.num_chunks, cfg.chunk)
+    idx_chunks = jnp.moveaxis(idx_chunks, 1, 0)  # (num_chunks, T, C)
+    (t_final, _, color_acc, depth_acc), _ = jax.lax.scan(
+        jax.checkpoint(chunk_body), carry0, idx_chunks
+    )
+
+    color_acc = color_acc + t_final[..., None] * cam.bg[None, None, :]
+    depth_acc = jnp.where(depth_acc > 0.0, depth_acc, MEDIAN_DEPTH_INIT)
+
+    def to_image(tiles_flat, channels=None):
+        if channels is None:
+            img = tiles_flat.reshape(grid_y, grid_x, TILE, TILE)
+            img = img.transpose(0, 2, 1, 3).reshape(grid_y * TILE, grid_x * TILE)
+            return img[: cam.image_height, : cam.image_width]
+        img = tiles_flat.reshape(grid_y, grid_x, TILE, TILE, channels)
+        img = img.transpose(4, 0, 2, 1, 3).reshape(
+            channels, grid_y * TILE, grid_x * TILE
+        )
+        return img[:, : cam.image_height, : cam.image_width]
+
+    out = RenderOutput(
+        color=to_image(color_acc, 3),
+        radius=proj.radius,
+        depth=to_image(depth_acc)[None],
+        final_t=to_image(t_final),
+    )
+    aux = RenderAux(overflow=binned.overflow, num_instances=binned.num_instances)
+    return out, aux
