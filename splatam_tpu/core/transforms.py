@@ -15,9 +15,14 @@ from splatam_tpu.render.geometry import quat_to_rotmat  # re-export path
 
 
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """F.normalize parity: v / max(||v||, eps)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    """F.normalize parity: v / max(||v||, eps).
+
+    The max sits INSIDE the sqrt so the gradient at v=0 is 0 instead of NaN
+    (capacity-padding slots hold zero quaternions; `jnp.linalg.norm` would
+    poison reverse-mode through them).
+    """
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=axis, keepdims=True), eps * eps))
+    return v / n
 
 
 def quat_mult(q1: jax.Array, q2: jax.Array) -> jax.Array:

@@ -51,9 +51,13 @@ def quat_to_rotmat(q: jax.Array) -> jax.Array:
     """Normalized quaternion (w, x, y, z) -> rotation matrix. (..., 4) -> (..., 3, 3).
 
     Matches `utils/slam_external.py:25-42` (build_rotation) including the
-    normalization step.
+    normalization step. Zero quaternions (inactive capacity-padding slots)
+    map to the identity rotation instead of NaN, keeping reverse-mode
+    gradients of active parameters clean.
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = q / jnp.sqrt(
+        jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-24)
+    )
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     row0 = jnp.stack(
         [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], axis=-1

@@ -67,8 +67,13 @@ def rasterize_tiled(
     ``means2d_dummy`` is an all-zeros (N, 2) array in NDC units whose gradient
     equals the reference's returned dL/dmeans2D (`backward.cu:705-709` NDC
     scaling) — used by Inria-style densification thresholds.
+
+    ``colors`` may have any number F of feature channels (N, F) — e.g. 6 for
+    a fused RGB + depth/silhouette pass; the first 3 background channels come
+    from ``cam.bg``, extras blend against 0.
     """
     opacities = opacities.reshape(-1)
+    nfeat = colors.shape[-1]
     proj = preprocess(means3d, scales, rotations, cam, active=active)
     binned = bin_gaussians(
         jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg
@@ -128,7 +133,7 @@ def rasterize_tiled(
     carry0 = (
         jnp.ones((num_tiles, npix), jnp.float32),
         jnp.zeros((num_tiles, npix), jnp.bool_),
-        jnp.zeros((num_tiles, npix, 3), jnp.float32),
+        jnp.zeros((num_tiles, npix, nfeat), jnp.float32),
         jnp.zeros((num_tiles, npix), jnp.float32),
     )
     idx_chunks = binned.bucket.reshape(num_tiles, cfg.num_chunks, cfg.chunk)
@@ -137,7 +142,10 @@ def rasterize_tiled(
         jax.checkpoint(chunk_body), carry0, idx_chunks
     )
 
-    color_acc = color_acc + t_final[..., None] * cam.bg[None, None, :]
+    bg = cam.bg
+    if nfeat != bg.shape[0]:
+        bg = jnp.concatenate([bg, jnp.zeros(nfeat - bg.shape[0], bg.dtype)])[:nfeat]
+    color_acc = color_acc + t_final[..., None] * bg[None, None, :]
     depth_acc = jnp.where(depth_acc > 0.0, depth_acc, MEDIAN_DEPTH_INIT)
 
     def to_image(tiles_flat, channels=None):
@@ -152,7 +160,7 @@ def rasterize_tiled(
         return img[:, : cam.image_height, : cam.image_width]
 
     out = RenderOutput(
-        color=to_image(color_acc, 3),
+        color=to_image(color_acc, nfeat),
         radius=proj.radius,
         depth=to_image(depth_acc)[None],
         final_t=to_image(t_final),

@@ -1,0 +1,278 @@
+"""The SplaTAM SLAM driver: interleaved tracking, densification, mapping.
+
+TPU-native re-expression of `rgbd_slam` (`scripts/splatam.py:461-1010`):
+the frame stream is inherently sequential, so the driver is a host loop, but
+each phase runs as a single jitted program — full-frame tracking is one
+`lax.scan`, each mapping iteration one jitted step. Data-dependent map growth
+happens host-side into capacity-padded arrays (recompiles only when capacity
+doubles).
+
+Config schema matches the reference's experiment dicts
+(`configs/replica/splatam.py:21-136`) so configs port 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatam_tpu.core.params import (
+    Params,
+    Variables,
+    capacity_of,
+    num_active,
+)
+from splatam_tpu.core.transforms import (
+    matrix_to_quaternion,
+    normalize,
+    pose_to_w2c,
+)
+from splatam_tpu.render.binning import RasterConfig
+from splatam_tpu.slam.densify import add_new_gaussians
+from splatam_tpu.slam.initialize import initialize_first_timestep
+from splatam_tpu.slam.keyframes import keyframe_selection_overlap
+from splatam_tpu.slam.mapping import (
+    init_mapping_optimizer,
+    map_step,
+    prune_gaussians,
+)
+from splatam_tpu.slam.tracking import initialize_camera_pose, track_frame
+
+
+def _as_frame(color, depth):
+    """(H,W,3) [0..255], (H,W,1) -> jnp (3,H,W) [0..1], (1,H,W)."""
+    im = jnp.asarray(np.transpose(np.asarray(color), (2, 0, 1)) / 255.0, jnp.float32)
+    d = jnp.asarray(np.transpose(np.asarray(depth), (2, 0, 1)), jnp.float32)
+    return im, d
+
+
+def _bump_raster(cfg: RasterConfig) -> RasterConfig:
+    """Double the instance capacities after an overflow (recompile event)."""
+    return dataclasses.replace(
+        cfg,
+        max_instances=cfg.max_instances * 2,
+        max_per_tile=cfg.max_per_tile * 2,
+    )
+
+
+def _set_pose(params: Params, time_idx: int, rot, tran) -> Params:
+    params = dict(params)
+    params["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, time_idx].set(rot)
+    params["cam_trans"] = params["cam_trans"].at[0, :, time_idx].set(tran)
+    return params
+
+
+class SlamState:
+    """Mutable host-side SLAM state (params/variables/keyframes/telemetry)."""
+
+    def __init__(self):
+        self.params: Params = {}
+        self.variables: Variables = {}
+        self.keyframe_list: List[Dict] = []
+        self.keyframe_time_indices: List[int] = []
+        self.gt_w2c_all: List[np.ndarray] = []
+        self.cam = None
+        self.intrinsics = None
+        self.first_w2c = None
+        self.scene_radius = 0.0
+        self.timing = {
+            "tracking_iter": [], "tracking_frame": [],
+            "mapping_iter": [], "mapping_frame": [],
+        }
+
+
+def rgbd_slam(config: Dict, dataset, progress: bool = True) -> SlamState:
+    """Run SplaTAM over ``dataset`` (sequence of (color, depth, K, c2w pose)).
+
+    Returns the final SlamState (params include the camera trajectory).
+    """
+    cfg_track = config["tracking"]
+    cfg_map = config["mapping"]
+    raster_cfg = RasterConfig(**config.get("raster", {}))
+    rng = np.random.default_rng(config.get("seed", 0))
+
+    num_frames = config["data"].get("num_frames", -1)
+    if num_frames == -1:
+        num_frames = len(dataset)
+
+    state = SlamState()
+
+    # --- frame 0 initialization ---
+    color, depth, intrinsics, pose = dataset[0]
+    params, variables, k3, first_w2c, cam, scene_radius = initialize_first_timestep(
+        np.asarray(color), np.asarray(depth), np.asarray(intrinsics),
+        np.asarray(pose), num_frames,
+        config["scene_radius_depth_ratio"],
+        config.get("gaussian_distribution", "isotropic"),
+    )
+    state.cam, state.intrinsics, state.first_w2c = cam, k3, first_w2c
+    state.scene_radius = scene_radius
+
+    lrs_map = tuple(sorted(cfg_map["lrs"].items()))
+    gauss_lrs = tuple((k, v) for k, v in lrs_map if not k.startswith("cam_"))
+
+    for time_idx in range(num_frames):
+        color, depth, _, pose = dataset[time_idx]
+        gt_w2c = np.linalg.inv(np.asarray(pose, dtype=np.float64))
+        state.gt_w2c_all.append(gt_w2c)
+        frame_im, frame_depth = _as_frame(color, depth)
+
+        # --- tracking ---
+        t0 = time.time()
+        if time_idx > 0:
+            rot0, tran0 = initialize_camera_pose(
+                params["cam_unnorm_rots"], params["cam_trans"], time_idx,
+                forward_prop=cfg_track["forward_prop"],
+            )
+            if cfg_track["use_gt_poses"]:
+                rel = jnp.asarray(gt_w2c, jnp.float32)
+                rot = matrix_to_quaternion(rel[:3, :3])
+                params = _set_pose(params, time_idx, rot, rel[:3, 3])
+            else:
+                n_iters = cfg_track["num_iters"]
+
+                def run_track(n):
+                    return track_frame(
+                        params, variables["active"], rot0, tran0,
+                        frame_im, frame_depth, cam, raster_cfg,
+                        num_iters=n,
+                        use_sil_for_loss=cfg_track["use_sil_for_loss"],
+                        sil_thres=cfg_track["sil_thres"],
+                        ignore_outlier_depth_loss=cfg_track["ignore_outlier_depth_loss"],
+                        loss_w_im=cfg_track["loss_weights"]["im"],
+                        loss_w_depth=cfg_track["loss_weights"]["depth"],
+                        lr_rot=cfg_track["lrs"]["cam_unnorm_rots"],
+                        lr_tran=cfg_track["lrs"]["cam_trans"],
+                    )
+
+                res = run_track(n_iters)
+                for _ in range(3):  # auto-escalate capacity on overflow
+                    if not bool(res.overflow):
+                        break
+                    raster_cfg = _bump_raster(raster_cfg)
+                    print(
+                        f"[info] raster overflow at frame {time_idx}: retrying "
+                        f"with max_per_tile={raster_cfg.max_per_tile}, "
+                        f"max_instances={raster_cfg.max_instances}"
+                    )
+                    res = run_track(n_iters)
+                if (
+                    cfg_track.get("use_depth_loss_thres", False)
+                    and float(res.last_losses["depth"])
+                    >= cfg_track.get("depth_loss_thres", 1e9)
+                ):
+                    # double the iterations once (`scripts/splatam.py:745-758`)
+                    res = run_track(2 * n_iters)
+                params = _set_pose(params, time_idx, res.best_rot, res.best_tran)
+        state.timing["tracking_frame"].append(time.time() - t0)
+
+        # --- densification + mapping ---
+        if time_idx == 0 or (time_idx + 1) % config["map_every"] == 0:
+            if cfg_map["add_new_gaussians"] and time_idx > 0:
+                params, variables, _, n_added = add_new_gaussians(
+                    params, variables, None, frame_im, frame_depth,
+                    state.intrinsics, cam, raster_cfg,
+                    cfg_map["sil_thres"], time_idx,
+                    config.get("gaussian_distribution", "isotropic"),
+                )
+
+            # keyframe selection
+            curr_w2c = np.asarray(
+                pose_to_w2c(
+                    params["cam_unnorm_rots"][0, :, time_idx],
+                    params["cam_trans"][0, :, time_idx],
+                )
+            )
+            num_kf = config["mapping_window_size"] - 2
+            selected = keyframe_selection_overlap(
+                np.asarray(frame_depth), curr_w2c, state.intrinsics,
+                state.keyframe_list[:-1], num_kf, rng=rng,
+            )
+            selected_frames = [state.keyframe_list[i] for i in selected]
+            if state.keyframe_list:
+                selected_frames.append(state.keyframe_list[-1])
+            selected_frames.append(
+                {
+                    "id": time_idx,
+                    "est_w2c": curr_w2c,
+                    "im": frame_im,
+                    "depth": frame_depth,
+                }
+            )
+
+            t1 = time.time()
+            opt_state = init_mapping_optimizer(params)
+            for it in range(cfg_map["num_iters"]):
+                kf = selected_frames[rng.integers(0, len(selected_frames))]
+                t_kf = kf["id"]
+                result = map_step(
+                    params, variables["active"], opt_state,
+                    jax.lax.stop_gradient(params["cam_unnorm_rots"][0, :, t_kf]),
+                    jax.lax.stop_gradient(params["cam_trans"][0, :, t_kf]),
+                    kf["im"], kf["depth"], cam, raster_cfg,
+                    lrs=gauss_lrs,
+                    sil_thres=cfg_map["sil_thres"],
+                    use_sil_for_loss=cfg_map["use_sil_for_loss"],
+                    ignore_outlier_depth_loss=cfg_map["ignore_outlier_depth_loss"],
+                    loss_w_im=cfg_map["loss_weights"]["im"],
+                    loss_w_depth=cfg_map["loss_weights"]["depth"],
+                )
+                if bool(result.overflow) and it == 0:
+                    raster_cfg = _bump_raster(raster_cfg)
+                    print(
+                        f"[info] raster overflow in mapping at frame {time_idx}: "
+                        f"max_per_tile={raster_cfg.max_per_tile}"
+                    )
+                opt_state = result.opt_state
+                new_params = result.params
+                if cfg_map.get("prune_gaussians", False):
+                    new_params, variables, opt_state = prune_gaussians(
+                        new_params, variables, opt_state, it,
+                        cfg_map["pruning_dict"], state.scene_radius,
+                    )
+                params = new_params
+                variables["max_2D_radius"] = jnp.where(
+                    result.seen,
+                    jnp.maximum(
+                        result.radius.astype(jnp.float32),
+                        variables["max_2D_radius"],
+                    ),
+                    variables["max_2D_radius"],
+                )
+            state.timing["mapping_frame"].append(time.time() - t1)
+
+        # --- keyframe bookkeeping ---
+        if (
+            time_idx == 0
+            or (time_idx + 1) % config["keyframe_every"] == 0
+            or time_idx == num_frames - 2
+        ) and (np.isfinite(gt_w2c).all()):
+            curr_w2c = np.asarray(
+                pose_to_w2c(
+                    params["cam_unnorm_rots"][0, :, time_idx],
+                    params["cam_trans"][0, :, time_idx],
+                )
+            )
+            state.keyframe_list.append(
+                {
+                    "id": time_idx,
+                    "est_w2c": curr_w2c,
+                    "im": frame_im,
+                    "depth": frame_depth,
+                }
+            )
+            state.keyframe_time_indices.append(time_idx)
+
+        if progress and (time_idx % 10 == 0 or time_idx == num_frames - 1):
+            print(
+                f"frame {time_idx}/{num_frames}  gaussians={num_active(variables)}"
+                f" cap={capacity_of(params)}"
+            )
+
+    state.params = params
+    state.variables = variables
+    return state

@@ -1,0 +1,136 @@
+"""SLAM integration tests on the synthetic scene (CPU, small)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from splatam_tpu.core.losses import calc_ssim
+from splatam_tpu.core.params import initialize_params, num_active
+from splatam_tpu.data.synthetic import SyntheticDataset
+from splatam_tpu.render.binning import RasterConfig
+from splatam_tpu.slam.pipeline import rgbd_slam
+from splatam_tpu.slam.tracking import track_frame
+from splatam_tpu.core.transforms import pose_to_w2c
+
+
+def small_config(num_frames=-1):
+    return dict(
+        seed=0,
+        map_every=1,
+        keyframe_every=4,
+        mapping_window_size=8,
+        scene_radius_depth_ratio=3,
+        gaussian_distribution="isotropic",
+        raster=dict(max_instances=2**17, max_per_tile=512, chunk=64),
+        data=dict(num_frames=num_frames),
+        tracking=dict(
+            use_gt_poses=False,
+            forward_prop=True,
+            num_iters=12,
+            use_sil_for_loss=True,
+            sil_thres=0.99,
+            use_l1=True,
+            ignore_outlier_depth_loss=False,
+            loss_weights=dict(im=0.5, depth=1.0),
+            lrs=dict(cam_unnorm_rots=0.002, cam_trans=0.01),
+        ),
+        mapping=dict(
+            num_iters=15,
+            add_new_gaussians=True,
+            sil_thres=0.5,
+            use_l1=True,
+            use_sil_for_loss=False,
+            ignore_outlier_depth_loss=False,
+            loss_weights=dict(im=0.5, depth=1.0),
+            lrs=dict(
+                means3D=0.0001,
+                rgb_colors=0.0025,
+                unnorm_rotations=0.001,
+                logit_opacities=0.05,
+                log_scales=0.001,
+                cam_unnorm_rots=0.0,
+                cam_trans=0.0,
+            ),
+            prune_gaussians=True,
+            pruning_dict=dict(
+                start_after=0,
+                remove_big_after=0,
+                stop_after=20,
+                prune_every=20,
+                removal_opacity_threshold=0.005,
+                final_removal_opacity_threshold=0.005,
+                reset_opacities=False,
+                reset_opacities_every=500,
+            ),
+            use_gaussian_splatting_densification=False,
+        ),
+    )
+
+
+def test_ssim_identity():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (3, 40, 40)).astype(np.float32))
+    assert float(calc_ssim(img, img)) > 0.999
+    noisy = img + 0.3 * jnp.asarray(rng.normal(size=(3, 40, 40)).astype(np.float32))
+    assert float(calc_ssim(img, noisy)) < 0.8
+
+
+def test_tracking_recovers_pose_perturbation():
+    """With the GT gaussian map, tracking should pull a perturbed pose back."""
+    ds = SyntheticDataset(num_frames=3, width=96, height=64)
+    color, depth, k4, pose = ds[1]
+    # map = ground-truth gaussians
+    n = ds.means.shape[0]
+    pt_cld = np.concatenate([ds.means, ds.colors], axis=-1)
+    # opacity 0.98 -> logit
+    params, variables = initialize_params(
+        pt_cld, 3, (ds.scales[:, 0] ** 2), "isotropic"
+    )
+    params["logit_opacities"] = params["logit_opacities"] + jnp.where(
+        variables["active"][:, None], np.log(0.98 / 0.02), 0.0
+    )
+
+    gt_w2c = np.linalg.inv(pose)
+    from splatam_tpu.core.transforms import matrix_to_quaternion
+
+    gt_rot = np.asarray(matrix_to_quaternion(jnp.asarray(gt_w2c[:3, :3])))
+    gt_tran = gt_w2c[:3, 3]
+
+    # perturb
+    rot0 = jnp.asarray(gt_rot + np.array([0.0, 0.002, -0.002, 0.001], np.float32))
+    tran0 = jnp.asarray(gt_tran + np.array([0.015, -0.01, 0.01], np.float32))
+
+    im = jnp.asarray(color.transpose(2, 0, 1) / 255.0)
+    dep = jnp.asarray(depth.transpose(2, 0, 1))
+    cfg = RasterConfig(max_instances=2**17, max_per_tile=512, chunk=64)
+    res = track_frame(
+        params, variables["active"], rot0, tran0, im, dep, ds._cam0, cfg,
+        num_iters=40, lr_rot=0.001, lr_tran=0.004,
+    )
+    err0 = np.linalg.norm(np.asarray(tran0) - gt_tran)
+    err1 = np.linalg.norm(np.asarray(res.best_tran) - gt_tran)
+    assert err1 < 0.5 * err0, (err0, err1)
+    assert not bool(res.overflow)
+
+
+@pytest.mark.slow
+def test_end_to_end_slam_synthetic():
+    ds = SyntheticDataset(num_frames=6, width=96, height=64)
+    state = rgbd_slam(small_config(6), ds, progress=False)
+    assert num_active(state.variables) > 1000
+
+    # trajectory error against ground truth
+    errs = []
+    for t in range(6):
+        est_w2c = np.asarray(
+            pose_to_w2c(
+                state.params["cam_unnorm_rots"][0, :, t],
+                state.params["cam_trans"][0, :, t],
+            )
+        )
+        gt_w2c = np.linalg.inv(ds.poses[t])
+        est_c2w = np.linalg.inv(est_w2c)
+        gt_c2w = np.linalg.inv(gt_w2c)
+        errs.append(np.linalg.norm(est_c2w[:3, 3] - gt_c2w[:3, 3]))
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    # frame-to-frame motion is ~2cm; tracking should stay well under that
+    assert ate < 0.02, f"ATE {ate}"
