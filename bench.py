@@ -1,0 +1,112 @@
+"""Rasterizer fwd+bwd throughput benchmark (one JSON line to stdout).
+
+Measures the full differentiable render step — fused 6-channel (RGB + depth +
+silhouette) forward + backward through all Gaussian parameters — at
+SplaTAM's Replica working resolution (1200x680), in megapixels/second.
+
+vs_baseline compares against the reference CUDA rasterizer on A100
+(BASELINE.md: no published numbers in-repo; ~100 Mpix/s fwd+bwd is the
+working estimate from the reference's reported tracking-iteration times —
+2 fwd + 2 bwd of a 0.8 Mpix frame per ~15 ms iteration on datacenter GPUs).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+BASELINE_MPIX_S = 100.0  # A100 CUDA fwd+bwd estimate (see module docstring)
+
+
+def make_scene(n, w, h, seed=0):
+    import jax.numpy as jnp
+
+    from splatam_tpu.render.camera import setup_camera
+
+    rng = np.random.default_rng(seed)
+    # box of small gaussians in front of the camera, depth 1..6
+    means = np.stack(
+        [
+            rng.uniform(-2.2, 2.2, n),
+            rng.uniform(-1.3, 1.3, n),
+            rng.uniform(1.0, 6.0, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    k = [[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]]
+    cam = setup_camera(w, h, k, np.eye(4))
+    params = {
+        "means3D": jnp.asarray(means),
+        "rgb_colors": jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        "unnorm_rotations": jnp.asarray(
+            (rng.normal(size=(n, 4)) + np.array([2.0, 0, 0, 0])).astype(np.float32)
+        ),
+        "logit_opacities": jnp.asarray(rng.normal(1.0, 1.0, (n, 1)).astype(np.float32)),
+        "log_scales": jnp.asarray(rng.uniform(-5.2, -3.8, (n, 1)).astype(np.float32)),
+    }
+    return params, jnp.ones(n, bool), cam
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from splatam_tpu.core.losses import slam_loss
+    from splatam_tpu.core.params import GAUSSIAN_KEYS
+    from splatam_tpu.render.binning import RasterConfig
+
+    n = 200_000
+    w, h = 1200, 680
+    params, active, cam = make_scene(n, w, h)
+    cfg = RasterConfig(max_instances=2**21, max_per_tile=1024, chunk=128)
+
+    gt_im = jnp.zeros((3, h, w), jnp.float32)
+    gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
+    rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
+    tran = jnp.zeros(3, jnp.float32)
+
+    def loss_fn(gauss):
+        p = dict(params)
+        p.update(gauss)
+        out = slam_loss(
+            p, active, rot, tran, gt_im, gt_depth, cam, cfg,
+            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
+            use_sil_for_loss=False, sil_thres=0.5,
+            ignore_outlier_depth_loss=False,
+        )
+        return out.loss
+
+    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # warmup / compile
+    loss, grads = step(gauss)
+    jax.block_until_ready((loss, grads))
+    assert np.isfinite(float(loss))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(gauss)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    mpix_s = (w * h * iters) / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "rasterizer_fwd_bwd_throughput",
+                "value": round(mpix_s, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ class RasterConfig:
     max_per_tile: int = 1024  # cap on instances per tile
     chunk: int = 128  # instances blended per scan step
     backend: str = "auto"  # 'jnp' | 'pallas' | 'auto'
+    # Mesh axis name to shard image tiles over (the DP analog for this
+    # workload, SURVEY.md §2.3). None = single device. Requires an ambient
+    # mesh (jax.sharding.use_mesh) with this axis; GSPMD partitions the
+    # compositing scan over tiles and all-reduces parameter grads over ICI.
+    shard_axis: str | None = None
 
     @property
     def num_chunks(self) -> int:

@@ -138,6 +138,21 @@ def rasterize_tiled(
     )
     idx_chunks = binned.bucket.reshape(num_tiles, cfg.num_chunks, cfg.chunk)
     idx_chunks = jnp.moveaxis(idx_chunks, 1, 0)  # (num_chunks, T, C)
+    if cfg.shard_axis is not None:
+        # Tile data-parallelism: partition the compositing over devices; the
+        # per-Gaussian gather stays replicated, and GSPMD inserts the psum
+        # over parameter gradients in the backward pass.
+        from jax.sharding import PartitionSpec as P
+
+        idx_chunks = jax.lax.with_sharding_constraint(
+            idx_chunks, P(None, cfg.shard_axis, None)
+        )
+        carry0 = (
+            jax.lax.with_sharding_constraint(carry0[0], P(cfg.shard_axis)),
+            jax.lax.with_sharding_constraint(carry0[1], P(cfg.shard_axis)),
+            jax.lax.with_sharding_constraint(carry0[2], P(cfg.shard_axis)),
+            jax.lax.with_sharding_constraint(carry0[3], P(cfg.shard_axis)),
+        )
     (t_final, _, color_acc, depth_acc), _ = jax.lax.scan(
         jax.checkpoint(chunk_body), carry0, idx_chunks
     )
