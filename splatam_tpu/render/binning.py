@@ -51,7 +51,32 @@ class Binned(NamedTuple):
     overflow: jax.Array  # () bool: instance buffer or a tile bucket overflowed
 
 
-def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned:
+class BinnedCSR(NamedTuple):
+    """Depth-sorted instance stream in chunk-aligned CSR layout.
+
+    Feeds the flat-chunk-grid Pallas kernels (pallas_raster.py): each tile's
+    instance segment starts at a multiple of ``chunk`` in the padded stream,
+    so one Pallas grid step processes exactly one (tile, chunk) pair with no
+    per-tile capacity padding and no bucket scatter (row scatters cost
+    ~200ms at SLAM scale on TPU; this layout needs only gathers).
+    """
+
+    padded_gid: jax.Array  # (M_pad,) int32 gaussian id per padded stream slot
+    chunk_meta: jax.Array  # (NC,) int32 packed: tile<<9 | nvalid<<1 | first
+    counts: jax.Array  # (T,) int32 instances per tile
+    num_instances: jax.Array  # () int32 total instances emitted
+    padded_total: jax.Array  # () int32 stream length incl. per-tile padding
+    overflow: jax.Array  # () bool: instance buffer overflowed
+
+
+def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
+    """Instance expansion + (tile, depth) sort shared by both layouts.
+
+    Replaces cub InclusiveSum + duplicateWithKeys + radix sort
+    (`rasterizer_impl.cu:33-339`). jnp.repeat is the fast path on TPU —
+    jnp.searchsorted's default 'scan' method lowers to a while-loop that
+    costs ~300ms at this size.
+    """
     n = proj.tiles_touched.shape[0]
     grid_x = (cam.image_width + TILE - 1) // TILE
     grid_y = (cam.image_height + TILE - 1) // TILE
@@ -63,9 +88,10 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned:
     total = offsets[-1]
     starts = offsets - tiles_touched
 
-    # Expand to instances: slot -> owning gaussian via prefix-sum inversion.
     slot = jnp.arange(k, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    gid = jnp.repeat(
+        jnp.arange(n, dtype=jnp.int32), tiles_touched, total_repeat_length=k
+    )
     in_use = slot < total
     gid_safe = jnp.clip(gid, 0, n - 1)
     local = slot - starts[gid_safe]
@@ -84,13 +110,73 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned:
         num_keys=2,
         is_stable=True,
     )
+    return sorted_tile, sorted_gid, tile_id, total, num_tiles
 
-    # Per-tile ranges (identifyTileRanges analog) + bucket scatter.
-    tile_start = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles, dtype=jnp.int32), side="left")
-    tile_end = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles, dtype=jnp.int32), side="right")
-    counts = (tile_end - tile_start).astype(jnp.int32)
 
-    rank = jnp.arange(k, dtype=jnp.int32) - tile_start[jnp.minimum(sorted_tile, num_tiles - 1)]
+def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> BinnedCSR:
+    """Chunk-aligned CSR binning for the Pallas flat-chunk-grid kernels."""
+    chunk = cfg.chunk
+    sorted_tile, sorted_gid, tile_id, total, num_tiles = _expand_instances(
+        proj, cam, cfg
+    )
+    k = cfg.max_instances
+    m_pad = k + num_tiles * chunk
+    nc = m_pad // chunk
+
+    counts = jnp.zeros(num_tiles + 1, jnp.int32).at[tile_id].add(1)[:num_tiles]
+    tile_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+    nchunks = (counts + chunk - 1) // chunk
+    chunk_off = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)])
+    padded_start = chunk_off * chunk
+    padded_total = padded_start[-1]
+
+    # per-chunk metadata: owning tile, first-chunk flag, valid rows in chunk
+    c_idx = jnp.arange(nc, dtype=jnp.int32)
+    chunk_tile = jnp.repeat(
+        jnp.arange(num_tiles, dtype=jnp.int32), nchunks, total_repeat_length=nc
+    )
+    # tail chunks (>= total used chunks) repeat the last tile id; nvalid = 0
+    # there, so the kernel skips them.
+    local_chunk = c_idx - chunk_off[chunk_tile]
+    nvalid = jnp.clip(counts[chunk_tile] - local_chunk * chunk, 0, chunk)
+    nvalid = jnp.where(c_idx < chunk_off[-1], nvalid, 0)
+    prev_tile = jnp.concatenate([jnp.full(1, -1, jnp.int32), chunk_tile[:-1]])
+    first = (chunk_tile != prev_tile).astype(jnp.int32)
+    chunk_meta = (chunk_tile << 9) | (nvalid.astype(jnp.int32) << 1) | first
+
+    # padded stream -> source instance position (gather formulation; the
+    # scatter alternative costs ~4x more on TPU)
+    p = jnp.arange(m_pad, dtype=jnp.int32)
+    p_tile = chunk_tile[p // chunk]
+    src = tile_start[p_tile] + p - padded_start[p_tile]
+    row_valid = (p - padded_start[p_tile]) < counts[p_tile]
+    padded_gid = jnp.where(
+        row_valid, sorted_gid[jnp.clip(src, 0, k - 1)], 0
+    )
+
+    return BinnedCSR(
+        padded_gid=padded_gid,
+        chunk_meta=chunk_meta,
+        counts=counts,
+        num_instances=total,
+        padded_total=padded_total,
+        overflow=total > k,
+    )
+
+
+def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned:
+    sorted_tile, sorted_gid, tile_id, total, num_tiles = _expand_instances(
+        proj, cam, cfg
+    )
+    k = cfg.max_instances
+
+    # Per-tile ranges (identifyTileRanges analog) + bucket scatter. Counts by
+    # histogram + exclusive-cumsum starts (no searchsorted, see above).
+    counts = jnp.zeros(num_tiles + 1, jnp.int32).at[tile_id].add(1)[:num_tiles]
+    tile_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]
+    )
+    rank = jnp.arange(k, dtype=jnp.int32) - tile_start[jnp.minimum(sorted_tile, num_tiles)]
     write_ok = (sorted_tile < num_tiles) & (rank < cfg.max_per_tile)
     # out-of-range index for masked slots => the write is dropped
     flat_idx = jnp.where(

@@ -29,7 +29,12 @@ from splatam_tpu.render.geometry import (
     TILE,
     preprocess,
 )
-from splatam_tpu.render.binning import Binned, RasterConfig, bin_gaussians
+from splatam_tpu.render.binning import (
+    Binned,
+    RasterConfig,
+    bin_gaussians,
+    bin_gaussians_csr,
+)
 from splatam_tpu.render.reference import RenderOutput
 
 
@@ -75,9 +80,7 @@ def rasterize_tiled(
     opacities = opacities.reshape(-1)
     nfeat = colors.shape[-1]
     proj = preprocess(means3d, scales, rotations, cam, active=active)
-    binned = bin_gaussians(
-        jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg
-    )
+    proj_ng = jax.tree.map(jax.lax.stop_gradient, proj)
 
     blend_xy = proj.means2d
     if means2d_dummy is not None:
@@ -89,6 +92,17 @@ def rasterize_tiled(
     px, py, grid_x, grid_y = _tile_pixel_coords(cam)
     num_tiles = grid_x * grid_y
     npix = TILE * TILE
+
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas" and cfg.shard_axis is None:
+        binned_csr = bin_gaussians_csr(proj_ng, cam, cfg)
+        return _rasterize_pallas(
+            proj, binned_csr, blend_xy, colors, opacities, cam, cfg,
+            grid_x, grid_y,
+        )
+    binned = bin_gaussians(proj_ng, cam, cfg)
 
     def chunk_body(carry, idx_chunk):
         t_run, dead, color_acc, depth_acc = carry
@@ -179,6 +193,49 @@ def rasterize_tiled(
         radius=proj.radius,
         depth=to_image(depth_acc)[None],
         final_t=to_image(t_final),
+    )
+    aux = RenderAux(overflow=binned.overflow, num_instances=binned.num_instances)
+    return out, aux
+
+
+def _tiles_to_image(tiles_flat, grid_x, grid_y, cam, channels=None):
+    if channels is None:
+        img = tiles_flat.reshape(grid_y, grid_x, TILE, TILE)
+        img = img.transpose(0, 2, 1, 3).reshape(grid_y * TILE, grid_x * TILE)
+        return img[: cam.image_height, : cam.image_width]
+    img = tiles_flat.reshape(grid_y, grid_x, TILE, TILE, channels)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        channels, grid_y * TILE, grid_x * TILE
+    )
+    return img[:, : cam.image_height, : cam.image_width]
+
+
+def _rasterize_pallas(
+    proj, binned, blend_xy, colors, opacities, cam, cfg, grid_x, grid_y
+) -> tuple[RenderOutput, RenderAux]:
+    """Pallas-kernel compositing path (see pallas_raster.py)."""
+    from splatam_tpu.render.pallas_raster import (
+        pack_attrs,
+        rasterize_tiles_pallas,
+    )
+
+    nfeat = colors.shape[-1]
+    attrs = pack_attrs(blend_xy, proj.conic, opacities, proj.depths, colors)
+    res = rasterize_tiles_pallas(
+        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk
+    )
+
+    bg = cam.bg
+    if nfeat != bg.shape[0]:
+        bg = jnp.concatenate([bg, jnp.zeros(nfeat - bg.shape[0], bg.dtype)])[:nfeat]
+    color_acc = res.color[..., :nfeat] + res.final_t[..., None] * bg[None, None, :]
+    depth_acc = jnp.where(res.depth > 0.0, res.depth, MEDIAN_DEPTH_INIT)
+
+    out = RenderOutput(
+        color=_tiles_to_image(color_acc, grid_x, grid_y, cam, nfeat),
+        radius=proj.radius,
+        depth=_tiles_to_image(depth_acc, grid_x, grid_y, cam)[None],
+        final_t=_tiles_to_image(res.final_t, grid_x, grid_y, cam),
     )
     aux = RenderAux(overflow=binned.overflow, num_instances=binned.num_instances)
     return out, aux
