@@ -94,17 +94,34 @@ def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
     )
     in_use = slot < total
     gid_safe = jnp.clip(gid, 0, n - 1)
-    local = slot - starts[gid_safe]
 
-    rect_w = proj.rect_max[gid_safe, 0] - proj.rect_min[gid_safe, 0]
-    rect_w_safe = jnp.maximum(rect_w, 1)
-    ty = proj.rect_min[gid_safe, 1] + local // rect_w_safe
-    tx = proj.rect_min[gid_safe, 0] + local % rect_w_safe
+    # One ROW gather instead of six column gathers: TPU gathers whole rows
+    # ~30x faster than repeated single-column gathers at this size. Depth
+    # rides along bitcast to int32 (IEEE f32 order-preserving for z > 0).
+    gtable = jnp.stack(
+        [
+            starts,
+            proj.rect_min[:, 0],
+            proj.rect_min[:, 1],
+            jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
+            jax.lax.bitcast_convert_type(proj.depths, jnp.int32),
+        ],
+        axis=-1,
+    )  # (N, 5) int32
+    grow = gtable[gid_safe]  # (K, 5)
+    local = slot - grow[:, 0]
+    rect_w_safe = grow[:, 3]
+    ty = grow[:, 2] + local // rect_w_safe
+    tx = grow[:, 1] + local % rect_w_safe
     tile_id = jnp.where(in_use, ty * grid_x + tx, num_tiles)
 
     # Sort by (tile, depth); stable => ties keep gaussian/rect emission order,
     # matching the radix sort of `rasterizer_impl.cu:301-309`.
-    depth_key = jnp.where(in_use, proj.depths[gid_safe], jnp.inf)
+    depth_key = jnp.where(
+        in_use,
+        jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32),
+        jnp.inf,
+    )
     sorted_tile, _, sorted_gid = jax.lax.sort(
         (tile_id.astype(jnp.int32), depth_key, gid_safe),
         num_keys=2,
@@ -123,8 +140,12 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     m_pad = k + num_tiles * chunk
     nc = m_pad // chunk
 
-    counts = jnp.zeros(num_tiles + 1, jnp.int32).at[tile_id].add(1)[:num_tiles]
-    tile_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+    # Per-tile ranges from the SORTED keys: a 3k-query searchsorted over the
+    # sorted 1M array is cheap (binary-search scan on few queries), unlike a
+    # 1M-element scatter-add histogram (~17ms).
+    tq = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tq, side="left").astype(jnp.int32)
+    counts = tile_start[1:] - tile_start[:-1]
     nchunks = (counts + chunk - 1) // chunk
     chunk_off = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)])
     padded_start = chunk_off * chunk
@@ -144,12 +165,18 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     first = (chunk_tile != prev_tile).astype(jnp.int32)
     chunk_meta = (chunk_tile << 9) | (nvalid.astype(jnp.int32) << 1) | first
 
-    # padded stream -> source instance position (gather formulation; the
-    # scatter alternative costs ~4x more on TPU)
+    # padded stream -> source instance position. All per-tile lookups happen
+    # at CHUNK granularity (NC ~ M_pad/128 rows) and broadcast to the stream;
+    # the only full-length gather is sorted_gid[src].
+    ctable = jnp.stack(
+        [tile_start[:-1][chunk_tile], padded_start[chunk_tile], counts[chunk_tile]],
+        axis=-1,
+    )  # (NC, 3) int32
+    crows = jnp.broadcast_to(ctable[:, None, :], (nc, chunk, 3)).reshape(m_pad, 3)
     p = jnp.arange(m_pad, dtype=jnp.int32)
-    p_tile = chunk_tile[p // chunk]
-    src = tile_start[p_tile] + p - padded_start[p_tile]
-    row_valid = (p - padded_start[p_tile]) < counts[p_tile]
+    rel = p - crows[:, 1]
+    src = crows[:, 0] + rel
+    row_valid = rel < crows[:, 2]
     padded_gid = jnp.where(
         row_valid, sorted_gid[jnp.clip(src, 0, k - 1)], 0
     )
