@@ -13,6 +13,7 @@ Config schema matches the reference's experiment dicts
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -85,10 +86,19 @@ class SlamState:
         }
 
 
-def rgbd_slam(config: Dict, dataset, progress: bool = True) -> SlamState:
+def rgbd_slam(
+    config: Dict,
+    dataset,
+    tracking_dataset=None,
+    densify_dataset=None,
+    progress: bool = True,
+) -> SlamState:
     """Run SplaTAM over ``dataset`` (sequence of (color, depth, K, c2w pose)).
 
-    Returns the final SlamState (params include the camera trajectory).
+    ``tracking_dataset`` / ``densify_dataset`` optionally provide the same
+    sequence at different resolutions (SplaTAM-S: track full-res, densify
+    half-res — `scripts/splatam.py:504-607`). Returns the final SlamState
+    (params include the camera trajectory).
     """
     cfg_track = config["tracking"]
     cfg_map = config["mapping"]
@@ -112,14 +122,70 @@ def rgbd_slam(config: Dict, dataset, progress: bool = True) -> SlamState:
     state.cam, state.intrinsics, state.first_w2c = cam, k3, first_w2c
     state.scene_radius = scene_radius
 
+    # separate-resolution cameras (`scripts/splatam.py:557-607`)
+    from splatam_tpu.render.camera import setup_camera as _setup_camera
+
+    track_cam, densify_cam, densify_k3 = cam, cam, k3
+    if tracking_dataset is not None:
+        tc, _, tk, _ = tracking_dataset[0]
+        track_cam = _setup_camera(
+            np.asarray(tc).shape[1], np.asarray(tc).shape[0],
+            np.asarray(tk)[:3, :3], first_w2c,
+        )
+    if densify_dataset is not None:
+        dc, _, dk, _ = densify_dataset[0]
+        densify_k3 = np.asarray(dk)[:3, :3]
+        densify_cam = _setup_camera(
+            np.asarray(dc).shape[1], np.asarray(dc).shape[0],
+            densify_k3, first_w2c,
+        )
+
     lrs_map = tuple(sorted(cfg_map["lrs"].items()))
     gauss_lrs = tuple((k, v) for k, v in lrs_map if not k.startswith("cam_"))
 
-    for time_idx in range(num_frames):
+    # --- checkpoint resume (`scripts/splatam.py:624-658`) ---
+    start_frame = 0
+    if config.get("load_checkpoint", False):
+        from splatam_tpu.utils.checkpoint import load_params
+
+        ckpt_idx = config["checkpoint_time_idx"]
+        ckpt_dir = os.path.join(config["workdir"], config["run_name"])
+        params, variables, extras = load_params(
+            os.path.join(ckpt_dir, f"params{ckpt_idx}.npz")
+        )
+        kf_inds = np.load(
+            os.path.join(ckpt_dir, f"keyframe_time_indices{ckpt_idx}.npy")
+        )
+        for t in range(ckpt_idx):
+            color, depth, _, pose = dataset[t]
+            state.gt_w2c_all.append(
+                np.linalg.inv(np.asarray(pose, dtype=np.float64))
+            )
+            if t in kf_inds:
+                frame_im, frame_depth = _as_frame(color, depth)
+                curr_w2c = np.asarray(
+                    pose_to_w2c(
+                        params["cam_unnorm_rots"][0, :, t],
+                        params["cam_trans"][0, :, t],
+                    )
+                )
+                state.keyframe_list.append(
+                    {"id": t, "est_w2c": curr_w2c, "im": frame_im,
+                     "depth": frame_depth}
+                )
+                state.keyframe_time_indices.append(t)
+        start_frame = ckpt_idx
+
+    for time_idx in range(start_frame, num_frames):
         color, depth, _, pose = dataset[time_idx]
         gt_w2c = np.linalg.inv(np.asarray(pose, dtype=np.float64))
         state.gt_w2c_all.append(gt_w2c)
         frame_im, frame_depth = _as_frame(color, depth)
+        if tracking_dataset is not None:
+            tc, td, _, _ = tracking_dataset[time_idx]
+            track_im, track_depth = _as_frame(tc, td)
+        else:
+            track_im, track_depth = frame_im, frame_depth
 
         # --- tracking ---
         t0 = time.time()
@@ -138,7 +204,7 @@ def rgbd_slam(config: Dict, dataset, progress: bool = True) -> SlamState:
                 def run_track(n):
                     return track_frame(
                         params, variables["active"], rot0, tran0,
-                        frame_im, frame_depth, cam, raster_cfg,
+                        track_im, track_depth, track_cam, raster_cfg,
                         num_iters=n,
                         use_sil_for_loss=cfg_track["use_sil_for_loss"],
                         sil_thres=cfg_track["sil_thres"],
@@ -173,9 +239,14 @@ def rgbd_slam(config: Dict, dataset, progress: bool = True) -> SlamState:
         # --- densification + mapping ---
         if time_idx == 0 or (time_idx + 1) % config["map_every"] == 0:
             if cfg_map["add_new_gaussians"] and time_idx > 0:
+                if densify_dataset is not None:
+                    dc, dd, _, _ = densify_dataset[time_idx]
+                    dens_im, dens_depth = _as_frame(dc, dd)
+                else:
+                    dens_im, dens_depth = frame_im, frame_depth
                 params, variables, _, n_added = add_new_gaussians(
-                    params, variables, None, frame_im, frame_depth,
-                    state.intrinsics, cam, raster_cfg,
+                    params, variables, None, dens_im, dens_depth,
+                    densify_k3, densify_cam, raster_cfg,
                     cfg_map["sil_thres"], time_idx,
                     config.get("gaussian_distribution", "isotropic"),
                 )
@@ -266,6 +337,21 @@ def rgbd_slam(config: Dict, dataset, progress: bool = True) -> SlamState:
                 }
             )
             state.keyframe_time_indices.append(time_idx)
+
+        # --- periodic checkpoint (`scripts/splatam.py:947-951`) ---
+        if (
+            config.get("save_checkpoints", False)
+            and time_idx % config.get("checkpoint_interval", 100) == 0
+            and time_idx > 0
+        ):
+            from splatam_tpu.utils.checkpoint import save_params_ckpt
+
+            ckpt_dir = os.path.join(config["workdir"], config["run_name"])
+            save_params_ckpt(params, variables, ckpt_dir, time_idx)
+            np.save(
+                os.path.join(ckpt_dir, f"keyframe_time_indices{time_idx}.npy"),
+                np.array(state.keyframe_time_indices),
+            )
 
         if progress and (time_idx % 10 == 0 or time_idx == num_frames - 1):
             print(
