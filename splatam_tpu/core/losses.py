@@ -156,12 +156,20 @@ def slam_loss(
     sil_thres: float,
     ignore_outlier_depth_loss: bool,
     means2d_dummy: jax.Array | None = None,
+    median_scale: float = 50.0,
+    median_thr: float | None = None,
 ) -> LossOutput:
     """`get_loss` parity (`scripts/splatam.py:220-353`).
 
     tracking=True: pose-only grads, per-pixel sums over the silhouette mask.
     tracking=False (mapping): gaussian-only grads, mean L1 depth +
     0.8 L1 / 0.2 DSSIM RGB.
+
+    ``median_scale`` / ``median_thr`` parametrize the outlier-depth mask as
+    in the realtime fork (`scripts/splatam_realtime.py:306-317`):
+    mask = depth_error < (median_scale / 5) * median(depth_error), with the
+    median capped at ``median_thr`` (cap active -> scale resets to 10x). The
+    defaults (50, None) reproduce the offline rule `error < 10 * median`.
     """
     out, aux = render_for_loss(
         params, active, cam_rot, cam_tran, cam, cfg,
@@ -177,7 +185,14 @@ def slam_loss(
     nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
     if ignore_outlier_depth_loss:
         depth_error = jnp.abs(frame_depth - depth) * (frame_depth > 0)
-        mask = (depth_error < 10 * jnp.median(depth_error)) & (frame_depth > 0)
+        median = jnp.median(depth_error)
+        if median_thr is not None:
+            capped = median > median_thr
+            scale = jnp.where(capped, 10.0, median_scale / 5.0)
+            median = jnp.minimum(median, median_thr)
+        else:
+            scale = median_scale / 5.0
+        mask = (depth_error < scale * median) & (frame_depth > 0)
     else:
         mask = frame_depth > 0
     mask = mask & nan_mask

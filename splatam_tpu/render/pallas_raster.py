@@ -121,6 +121,7 @@ def _fwd_kernel(
     t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance
     dead_sc,  # (NPIX, 1) f32 scratch: 0/1 dead mask
     depth_sc,  # (NPIX, 1) f32 scratch: median depth accumulator
+    alive_sc,  # (1,) SMEM: 0 when every pixel of the tile is saturated
     *,
     grid_x: int,
     chunk: int,
@@ -134,8 +135,11 @@ def _fwd_kernel(
         dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         depth_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         color_ref[0] = jnp.zeros((NPIX, NFEAT_PAD), jnp.float32)
+        alive_sc[0] = 1
 
-    @pl.when(nvalid > 0)
+    # early exit once the whole tile is saturated — the CUDA kernel's
+    # per-block __syncthreads_count done-ballot (`forward.cu:314-328`)
+    @pl.when((nvalid > 0) & (alive_sc[0] == 1))
     def _():
         px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
@@ -162,7 +166,9 @@ def _fwd_kernel(
         t_run_sc[:] = t_run * jnp.exp(
             jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
         )
-        dead_sc[:] = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
+        new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
+        dead_sc[:] = new_dead
+        alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
 
     aux_ref[0] = jnp.concatenate(
         [depth_sc[:], t_run_sc[:], jnp.zeros((NPIX, 6), jnp.float32)], axis=1
@@ -180,6 +186,7 @@ def _bwd_kernel(
     t_run_sc,  # (NPIX, 1) scratch
     dead_sc,  # (NPIX, 1) scratch
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
+    alive_sc,  # (1,) SMEM
     *,
     grid_x: int,
     chunk: int,
@@ -192,12 +199,15 @@ def _bwd_kernel(
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
         dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+        alive_sc[0] = 1
 
-    @pl.when(nvalid == 0)
+    run = (nvalid > 0) & (alive_sc[0] == 1)
+
+    @pl.when(jnp.logical_not(run))
     def _():
         ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
 
-    @pl.when(nvalid > 0)
+    @pl.when(run)
     def _():
         px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
@@ -278,7 +288,9 @@ def _bwd_kernel(
         t_run_sc[:] = t_run * jnp.exp(
             jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
         )
-        dead_sc[:] = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
+        new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
+        dead_sc[:] = new_dead
+        alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
 
 
@@ -292,6 +304,7 @@ def _fisher_kernel(
     t_run_sc,
     dead_sc,
     accwgc_sc,
+    alive_sc,  # (1,) SMEM
     *,
     grid_x: int,
     chunk: int,
@@ -317,12 +330,15 @@ def _fisher_kernel(
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
         dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+        alive_sc[0] = 1
 
-    @pl.when(nvalid == 0)
+    run = (nvalid > 0) & (alive_sc[0] == 1)
+
+    @pl.when(jnp.logical_not(run))
     def _():
         fish_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
 
-    @pl.when(nvalid > 0)
+    @pl.when(run)
     def _():
         px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
@@ -379,7 +395,9 @@ def _fisher_kernel(
         t_run_sc[:] = t_run * jnp.exp(
             jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
         )
-        dead_sc[:] = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
+        new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
+        dead_sc[:] = new_dead
+        alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
 
 
@@ -408,6 +426,7 @@ def _make_fisher_op(
                 pltpu.VMEM((NPIX, 1), jnp.float32),
                 pltpu.VMEM((NPIX, 1), jnp.float32),
                 pltpu.VMEM((NPIX, 1), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         out_shape=[
@@ -442,6 +461,7 @@ def _make_raster_op(
                 pltpu.VMEM((NPIX, 1), jnp.float32),
                 pltpu.VMEM((NPIX, 1), jnp.float32),
                 pltpu.VMEM((NPIX, 1), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         out_shape=[
@@ -470,6 +490,7 @@ def _make_raster_op(
                 pltpu.VMEM((NPIX, 1), jnp.float32),
                 pltpu.VMEM((NPIX, 1), jnp.float32),
                 pltpu.VMEM((NPIX, 1), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         out_shape=[

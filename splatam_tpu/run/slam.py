@@ -52,14 +52,19 @@ def main():
     if num_frames == -1:
         num_frames = len(dataset)
     eval_dir = os.path.join(results_dir, "eval")
-    eval_sequence(
-        dataset, state.params, state.variables["active"], num_frames, eval_dir,
-        sil_thres=config["mapping"]["sil_thres"],
-        mapping_iters=config["mapping"]["num_iters"],
-        add_new_gaussians=config["mapping"]["add_new_gaussians"],
-        eval_every=config.get("eval_every", 1),
-        raster_cfg=RasterConfig(**config.get("raster", {})),
-    )
+    try:
+        eval_sequence(
+            dataset, state.params, state.variables["active"], num_frames,
+            eval_dir,
+            sil_thres=config["mapping"]["sil_thres"],
+            mapping_iters=config["mapping"]["num_iters"],
+            add_new_gaussians=config["mapping"]["add_new_gaussians"],
+            eval_every=config.get("eval_every", 1),
+            raster_cfg=RasterConfig(**config.get("raster", {})),
+        )
+    except Exception as e:  # emergency checkpoint (`scripts/splatam.py:780-794`)
+        print(f"[error] evaluation failed ({e}); saving emergency checkpoint")
+        save_params(state.params, state.variables, results_dir, name="params_emergency")
 
     save_params(
         state.params, state.variables, results_dir,

@@ -20,11 +20,13 @@ def get_pointcloud(
     w2c: np.ndarray,  # (4, 4)
     mask: np.ndarray | None = None,  # (H*W,) bool
     compute_mean_sq_dist: bool = False,
+    mean_sq_dist_method: str = "projective",
 ):
     """Back-project every pixel to a world-frame point cloud (+ colors).
 
-    "projective" mean-square-distance: scale = (z / f)^2
-    (`scripts/splatam.py:102-107`).
+    mean_sq_dist_method (`scripts/splatam.py:102-112`):
+      "projective": scale = (z / f)^2
+      "knn": mean squared distance to the 3 nearest neighbors
     """
     h, w = color.shape[1], color.shape[2]
     cx, cy = intrinsics[0][2], intrinsics[1][2]
@@ -43,7 +45,7 @@ def get_pointcloud(
     point_cld = np.concatenate([pts, cols], axis=-1).astype(np.float32)
 
     mean3_sq_dist = None
-    if compute_mean_sq_dist:
+    if compute_mean_sq_dist and mean_sq_dist_method == "projective":
         scale_gaussian = z / ((fx + fy) / 2)
         mean3_sq_dist = (scale_gaussian**2).astype(np.float32)
 
@@ -52,6 +54,16 @@ def get_pointcloud(
         if mean3_sq_dist is not None:
             mean3_sq_dist = mean3_sq_dist[mask]
     if compute_mean_sq_dist:
+        if mean_sq_dist_method == "knn":
+            import jax.numpy as jnp
+
+            from splatam_tpu.utils.neighbors import mean_squared_knn_distance
+
+            mean3_sq_dist = np.asarray(
+                mean_squared_knn_distance(jnp.asarray(point_cld[:, :3]))
+            )
+        elif mean_sq_dist_method != "projective":
+            raise ValueError(f"Unknown mean_sq_dist_method {mean_sq_dist_method}")
         return point_cld, mean3_sq_dist
     return point_cld
 
@@ -64,6 +76,7 @@ def initialize_first_timestep(
     num_frames: int,
     scene_radius_depth_ratio: float,
     gaussian_distribution: str = "isotropic",
+    mean_sq_dist_method: str = "projective",
 ) -> Tuple[Params, Variables, np.ndarray, np.ndarray, Camera, float]:
     """Build the initial Gaussian map from frame 0.
 
@@ -78,7 +91,8 @@ def initialize_first_timestep(
 
     mask = (depth_chw[0].reshape(-1) > 0)
     init_pt_cld, mean3_sq_dist = get_pointcloud(
-        color_chw, depth_chw, k, w2c, mask=mask, compute_mean_sq_dist=True
+        color_chw, depth_chw, k, w2c, mask=mask, compute_mean_sq_dist=True,
+        mean_sq_dist_method=mean_sq_dist_method,
     )
     params, variables = initialize_params(
         init_pt_cld, num_frames, mean3_sq_dist, gaussian_distribution

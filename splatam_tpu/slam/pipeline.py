@@ -84,6 +84,7 @@ class SlamState:
             "tracking_iter": [], "tracking_frame": [],
             "mapping_iter": [], "mapping_frame": [],
         }
+        self.log_fn = None  # optional metrics sink (e.g. wandb_run.log)
 
 
 def rgbd_slam(
@@ -110,6 +111,14 @@ def rgbd_slam(
         num_frames = len(dataset)
 
     state = SlamState()
+    if config.get("use_wandb", False):
+        try:
+            import wandb
+
+            run = wandb.init(**config.get("wandb", {}))
+            state.log_fn = run.log
+        except ImportError:
+            print("[warn] use_wandb=True but wandb is not installed; skipping")
 
     # --- frame 0 initialization ---
     color, depth, intrinsics, pose = dataset[0]
@@ -118,6 +127,7 @@ def rgbd_slam(
         np.asarray(pose), num_frames,
         config["scene_radius_depth_ratio"],
         config.get("gaussian_distribution", "isotropic"),
+        config.get("mean_sq_dist_method", "projective"),
     )
     state.cam, state.intrinsics, state.first_w2c = cam, k3, first_w2c
     state.scene_radius = scene_radius
@@ -235,6 +245,23 @@ def rgbd_slam(
                     res = run_track(2 * n_iters)
                 params = _set_pose(params, time_idx, res.best_rot, res.best_tran)
         state.timing["tracking_frame"].append(time.time() - t0)
+
+        # global progress telemetry (`utils/eval_helpers.py:152-276`)
+        every = config.get("report_global_progress_every", 0)
+        if every and ((time_idx + 1) % every == 0 or time_idx == num_frames - 1):
+            from splatam_tpu.eval.report import report_progress
+
+            stats = report_progress(
+                params, variables["active"], frame_im, frame_depth, cam,
+                raster_cfg, time_idx, cfg_track["sil_thres"],
+                tracking=True, gt_w2c_list=state.gt_w2c_all,
+                first_w2c=state.first_w2c, log_fn=state.log_fn,
+            )
+            if progress:
+                print(
+                    f"  progress@{time_idx}: psnr={stats['psnr']:.2f} "
+                    f"ate={stats.get('ate', float('nan'))*100:.2f}cm"
+                )
 
         # --- densification + mapping ---
         if time_idx == 0 or (time_idx + 1) % config["map_every"] == 0:
