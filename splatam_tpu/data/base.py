@@ -60,6 +60,27 @@ def _imread(path: str) -> np.ndarray:
     return np.asarray(imageio.imread(path))
 
 
+_NATIVE_DECODER = None
+
+
+def _native_decoder():
+    """Lazily build/load the C++ frame decoder (splatam_tpu/native); decode
+    + resize run with the GIL released and match the cv2 pipeline bit-exactly.
+    Disable with SPLATAM_TPU_NATIVE_LOADER=0."""
+    global _NATIVE_DECODER
+    if _NATIVE_DECODER is None:
+        if os.environ.get("SPLATAM_TPU_NATIVE_LOADER", "1") == "0":
+            _NATIVE_DECODER = False
+        else:
+            try:
+                from splatam_tpu.native import NativeFrameDecoder
+
+                _NATIVE_DECODER = NativeFrameDecoder()
+            except Exception:
+                _NATIVE_DECODER = False
+    return _NATIVE_DECODER or None
+
+
 def _read_exr_depth(path: str) -> np.ndarray:
     """EXR depth (`basedataset.py:69-102`); gated on OpenEXR availability."""
     try:
@@ -176,25 +197,55 @@ class RGBDDataset(abc.ABC):
         )
         return depth[..., None] / self.png_depth_scale
 
+    def _load_native(self, index: int):
+        """Decode + resize via the C++ loader; None if not applicable."""
+        dec = _native_decoder()
+        if dec is None or self.distortion is not None or self.normalize_color:
+            return None
+        cpath, dpath = self.color_paths[index], self.depth_paths[index]
+        if not dpath.endswith(".png"):
+            return None
+        try:
+            if cpath.lower().endswith((".jpg", ".jpeg")):
+                color = dec.jpeg_rgb(cpath, self.desired_height, self.desired_width)
+            elif cpath.lower().endswith(".png"):
+                color = dec.png(
+                    cpath, self.desired_height, self.desired_width, 3,
+                    nearest=False,
+                )
+            else:
+                return None
+            depth = dec.png(
+                dpath, self.desired_height, self.desired_width, 1, nearest=True
+            ) / self.png_depth_scale
+            return color, depth
+        except ValueError:
+            return None
+
     def __getitem__(self, index: int):
         import cv2
 
-        color = _imread(self.color_paths[index]).astype(np.float32)
-        depth_path = self.depth_paths[index]
-        if depth_path.endswith(".exr"):
-            depth = _read_exr_depth(depth_path)
-        elif depth_path.endswith(".npy"):
-            depth = np.load(depth_path)
+        native = self._load_native(index)
+        if native is not None:
+            color, depth = native
+            k = self.get_cam_k()
         else:
-            depth = _imread(depth_path).astype(np.int64)
+            color = _imread(self.color_paths[index]).astype(np.float32)
+            depth_path = self.depth_paths[index]
+            if depth_path.endswith(".exr"):
+                depth = _read_exr_depth(depth_path)
+            elif depth_path.endswith(".npy"):
+                depth = np.load(depth_path)
+            else:
+                depth = _imread(depth_path).astype(np.int64)
 
-        k = self.get_cam_k()
-        if self.distortion is not None:
-            # undistortion applies to color only (`basedataset.py:316-318`)
-            color = cv2.undistort(color, k, self.distortion)
+            k = self.get_cam_k()
+            if self.distortion is not None:
+                # undistortion applies to color only (`basedataset.py:316-318`)
+                color = cv2.undistort(color, k, self.distortion)
 
-        color = self._preprocess_color(color)
-        depth = self._preprocess_depth(depth)
+            color = self._preprocess_color(color)
+            depth = self._preprocess_depth(depth)
         k = scale_intrinsics(k, self.height_ratio, self.width_ratio)
 
         if self.crop_edge is not None and self.crop_edge > 0:
