@@ -22,6 +22,36 @@ from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.render.camera import setup_camera
 
 
+def _qual_plot(plot_dir, time_idx, im_gt, im, d_gt, d, sil, psnr_val):
+    """Per-frame qualitative 2x3 figure grid (`eval_helpers.py:109-149`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(2, 3, figsize=(11, 6))
+    ax[0, 0].imshow(np.clip(im_gt.transpose(1, 2, 0), 0, 1))
+    ax[0, 0].set_title("GT RGB")
+    ax[0, 1].imshow(np.clip(im.transpose(1, 2, 0), 0, 1))
+    ax[0, 1].set_title(f"Rendered RGB (PSNR {psnr_val:.1f})")
+    ax[0, 2].imshow(sil, cmap="gray", vmin=0, vmax=1)
+    ax[0, 2].set_title("Silhouette")
+    vmax = max(float(d_gt.max()), 1e-6)
+    ax[1, 0].imshow(d_gt, cmap="viridis", vmin=0, vmax=vmax)
+    ax[1, 0].set_title("GT depth")
+    ax[1, 1].imshow(d, cmap="viridis", vmin=0, vmax=vmax)
+    ax[1, 1].set_title("Rendered depth")
+    ax[1, 2].imshow(np.abs(d - d_gt) * (d_gt > 0), cmap="magma")
+    ax[1, 2].set_title("Depth L1")
+    for a in ax.ravel():
+        a.axis("off")
+    fig.savefig(
+        os.path.join(plot_dir, f"{time_idx:04d}.png"), dpi=90,
+        bbox_inches="tight",
+    )
+    plt.close(fig)
+
+
 def eval_sequence(
     dataset,
     final_params: Dict,
@@ -34,9 +64,14 @@ def eval_sequence(
     eval_every: int = 1,
     raster_cfg: RasterConfig = RasterConfig(),
     save_frames: bool = False,
+    save_plots: bool = False,
     lpips_weights: Optional[str] = None,
 ) -> Dict[str, float]:
     os.makedirs(eval_dir, exist_ok=True)
+    plot_dir = None
+    if save_plots:
+        plot_dir = os.path.join(eval_dir, "plots")
+        os.makedirs(plot_dir, exist_ok=True)
     lpips_fn = load_lpips(lpips_weights)
 
     psnr_list, rmse_list, l1_list, ssim_list, lpips_list = [], [], [], [], []
@@ -121,6 +156,23 @@ def eval_sequence(
                 (np.clip(np.asarray(im), 0, 1).transpose(1, 2, 0) * 255).astype(
                     np.uint8
                 ),
+            )
+            ddir = os.path.join(eval_dir, "rendered_depth")
+            os.makedirs(ddir, exist_ok=True)
+            d = np.asarray(rastered_depth[0])
+            imageio.imwrite(
+                os.path.join(ddir, f"gs_{time_idx:04d}.png"),
+                (np.clip(d / max(float(d.max()), 1e-6), 0, 1) * 65535).astype(
+                    np.uint16
+                ),
+            )
+
+        if plot_dir is not None:
+            _qual_plot(
+                plot_dir, time_idx,
+                np.asarray(im_gt), np.asarray(im),
+                np.asarray(depth_gt[0]), np.asarray(rastered_depth[0]),
+                np.asarray(silhouette), float(psnr_list[-1]),
             )
 
     try:

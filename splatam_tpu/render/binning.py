@@ -163,7 +163,8 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     nvalid = jnp.where(c_idx < chunk_off[-1], nvalid, 0)
     prev_tile = jnp.concatenate([jnp.full(1, -1, jnp.int32), chunk_tile[:-1]])
     first = (chunk_tile != prev_tile).astype(jnp.int32)
-    chunk_meta = (chunk_tile << 9) | (nvalid.astype(jnp.int32) << 1) | first
+    # nvalid needs 9 bits (chunk <= 512 supported); tile gets the rest
+    chunk_meta = (chunk_tile << 10) | (nvalid.astype(jnp.int32) << 1) | first
 
     # padded stream -> source instance position. All per-tile lookups happen
     # at CHUNK granularity (NC ~ M_pad/128 rows) and broadcast to the stream;

@@ -110,7 +110,7 @@ def _chunk_alpha(blk, px, py, nvalid, chunk):
 
 def _meta(meta_ref, c):
     m = meta_ref[c]
-    return m >> 9, (m >> 1) & 0xFF, m & 1  # tile, nvalid, first
+    return m >> 10, (m >> 1) & 0x1FF, m & 1  # tile, nvalid, first
 
 
 def _fwd_kernel(
@@ -406,7 +406,7 @@ def _make_fisher_op(
     nc: int, num_tiles: int, grid_x: int, chunk: int, interpret: bool
 ):
     def tile_of(c, meta):
-        return (meta[c] >> 9, 0, 0)
+        return (meta[c] >> 10, 0, 0)
 
     return pl.pallas_call(
         functools.partial(_fisher_kernel, grid_x=grid_x, chunk=chunk),
@@ -443,7 +443,7 @@ def _make_raster_op(
     """Build the custom-vjp'd pallas op for one static configuration."""
 
     def tile_of(c, meta):
-        return (meta[c] >> 9, 0, 0)
+        return (meta[c] >> 10, 0, 0)
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk),
