@@ -47,17 +47,27 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
-    """SSIM over (C, H, W) images, torch-conv parity (zero 'same' padding)."""
+    """SSIM over (C, H, W) images, torch-conv parity (zero 'same' padding).
+
+    The Gaussian window is separable: two 1-D depthwise convs are ~11x less
+    work than the 11x11 conv (depthwise convs run on the VPU, ~8 ms each at
+    1200x680 — this was half the mapping-step time before splitting)."""
     c = img1.shape[0]
-    win = _gaussian_window(window_size)
-    kernel = jnp.tile(win[None, None], (c, 1, 1, 1))  # (C, 1, 11, 11)
+    g = _gaussian_window(window_size)[:, window_size // 2]
+    g = g / g.sum()
+    kh = jnp.tile(g[None, None, :, None], (c, 1, 1, 1))  # (C, 1, 11, 1)
+    kw = jnp.tile(g[None, None, None, :], (c, 1, 1, 1))  # (C, 1, 1, 11)
+    pad = window_size // 2
 
     def conv(x):
+        y = jax.lax.conv_general_dilated(
+            x[None], kh, (1, 1), [(pad, pad), (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return jax.lax.conv_general_dilated(
-            x[None],  # (1, C, H, W)
-            kernel,
-            window_strides=(1, 1),
-            padding=[(window_size // 2, window_size // 2)] * 2,
+            y, kw, (1, 1), [(0, 0), (pad, pad)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=c,
             precision=jax.lax.Precision.HIGHEST,

@@ -37,11 +37,21 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter_valid(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise VALID conv of (C, H, W) with (k, k)."""
+    """Depthwise VALID conv of (C, H, W) with a separable (k, k) window."""
     c = x.shape[0]
-    k = jnp.tile(kernel[None, None], (c, 1, 1, 1))
+    size = kernel.shape[0]
+    g = kernel[:, size // 2]
+    g = g / g.sum()
+    kh = jnp.tile(g[None, None, :, None], (c, 1, 1, 1))
+    kw = jnp.tile(g[None, None, None, :], (c, 1, 1, 1))
+    y = jax.lax.conv_general_dilated(
+        x[None], kh, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jax.lax.conv_general_dilated(
-        x[None], k, (1, 1), "VALID",
+        y, kw, (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
         precision=jax.lax.Precision.HIGHEST,

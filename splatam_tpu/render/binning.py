@@ -31,6 +31,10 @@ class RasterConfig:
     max_per_tile: int = 1024  # cap on instances per tile
     chunk: int = 128  # instances blended per scan step
     backend: str = "auto"  # 'jnp' | 'pallas' | 'auto'
+    # Fraction of tiles assumed to need chunk-alignment padding. Worst case
+    # is 1.0 (every tile wastes up to chunk-1 slots); the expectation is 0.5.
+    # Exceeding the budget sets the overflow flag (caller re-runs bigger).
+    pad_slack: float = 0.65
     # Mesh axis name to shard image tiles over (the DP analog for this
     # workload, SURVEY.md §2.3). None = single device. Requires an ambient
     # mesh (jax.sharding.use_mesh) with this axis; GSPMD partitions the
@@ -62,8 +66,11 @@ class BinnedCSR(NamedTuple):
     """
 
     padded_gid: jax.Array  # (M_pad,) int32 gaussian id per padded stream slot
-    chunk_meta: jax.Array  # (NC,) int32 packed: tile<<9 | nvalid<<1 | first
+    chunk_meta: jax.Array  # (NC,) int32 packed: tile<<10 | nvalid<<1 | first
     counts: jax.Array  # (T,) int32 instances per tile
+    gid_hist: jax.Array  # (N,) int32 instances per gaussian in the padded
+    # stream (tiles_touched + pad rows on gaussian 0) — known analytically,
+    # so the gradient segment-sum never needs a scatter-add histogram
     num_instances: jax.Array  # () int32 total instances emitted
     padded_total: jax.Array  # () int32 stream length incl. per-tile padding
     overflow: jax.Array  # () bool: instance buffer overflowed
@@ -137,8 +144,8 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
         proj, cam, cfg
     )
     k = cfg.max_instances
-    m_pad = k + num_tiles * chunk
-    nc = m_pad // chunk
+    nc = (k + chunk - 1) // chunk + int(cfg.pad_slack * num_tiles) + 1
+    m_pad = nc * chunk
 
     # Per-tile ranges from the SORTED keys: a 3k-query searchsorted over the
     # sorted 1M array is cheap (binary-search scan on few queries), unlike a
@@ -181,14 +188,16 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     padded_gid = jnp.where(
         row_valid, sorted_gid[jnp.clip(src, 0, k - 1)], 0
     )
+    gid_hist = proj.tiles_touched.astype(jnp.int32).at[0].add(m_pad - total)
 
     return BinnedCSR(
         padded_gid=padded_gid,
         chunk_meta=chunk_meta,
         counts=counts,
+        gid_hist=gid_hist,
         num_instances=total,
         padded_total=padded_total,
-        overflow=total > k,
+        overflow=(total > k) | (padded_total > m_pad),
     )
 
 
