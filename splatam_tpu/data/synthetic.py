@@ -101,7 +101,13 @@ class SyntheticDataset:
         inv0 = np.linalg.inv(self.poses[0])
         self.poses = [inv0 @ p for p in self.poses]
 
-        self._cfg = RasterConfig(max_instances=2**17, max_per_tile=512, chunk=64)
+        # jnp backend: the fixture must render identically on CPU and TPU,
+        # and Pallas requires chunk to be a multiple of 128. Capacity scales
+        # with the requested resolution (instances ~ #points * tiles touched).
+        cap = max(2**17, 1 << int(np.ceil(np.log2(4 * width * height))))
+        self._cfg = RasterConfig(
+            max_instances=cap, max_per_tile=1024, chunk=64, backend="jnp"
+        )
         self._cam0 = setup_camera(width, height, self.k, np.eye(4))
         self._cache = {}
 

@@ -66,8 +66,14 @@ def rasterize_tiled(
     cfg: RasterConfig = RasterConfig(),
     active: jax.Array | None = None,
     means2d_dummy: jax.Array | None = None,
+    binned=None,
 ) -> tuple[RenderOutput, RenderAux]:
     """Render RGB (or arbitrary 3-channel features) + median depth.
+
+    ``binned`` optionally reuses a precomputed BinnedCSR (pallas backend
+    only): during tracking the pose moves millimeters per iteration, so the
+    tile assignment and depth order can be frozen per frame while the blend
+    geometry stays exact — see slam/tracking.py `fixed_binning`.
 
     ``means2d_dummy`` is an all-zeros (N, 2) array in NDC units whose gradient
     equals the reference's returned dL/dmeans2D (`backward.cu:705-709` NDC
@@ -97,7 +103,14 @@ def rasterize_tiled(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if backend == "pallas" and cfg.shard_axis is None:
-        binned_csr = bin_gaussians_csr(proj_ng, cam, cfg)
+        if cfg.chunk % 128 != 0:
+            raise ValueError(
+                f"pallas backend needs chunk % 128 == 0, got {cfg.chunk} "
+                "(use backend='jnp' for smaller chunks)"
+            )
+        binned_csr = binned if binned is not None else bin_gaussians_csr(
+            proj_ng, cam, cfg
+        )
         return _rasterize_pallas(
             proj, binned_csr, blend_xy, colors, opacities, cam, cfg,
             grid_x, grid_y,

@@ -223,6 +223,7 @@ def rgbd_slam(
                         loss_w_depth=cfg_track["loss_weights"]["depth"],
                         lr_rot=cfg_track["lrs"]["cam_unnorm_rots"],
                         lr_tran=cfg_track["lrs"]["cam_trans"],
+                        fixed_binning=cfg_track.get("fixed_binning", False),
                     )
 
                 res = run_track(n_iters)

@@ -54,7 +54,7 @@ def initialize_camera_pose(
     static_argnames=(
         "cfg", "num_iters", "use_sil_for_loss", "sil_thres",
         "ignore_outlier_depth_loss", "loss_w_im", "loss_w_depth",
-        "lr_rot", "lr_tran",
+        "lr_rot", "lr_tran", "fixed_binning",
     ),
 )
 def track_frame(
@@ -74,9 +74,40 @@ def track_frame(
     loss_w_depth: float = 1.0,
     lr_rot: float = 0.0004,
     lr_tran: float = 0.002,
+    fixed_binning: bool = False,
 ) -> TrackResult:
     pose0 = {"rot": rot0, "tran": tran0}
     opt0 = init_adam(pose0)
+
+    binned = None
+    if fixed_binning:
+        # Bin once at the initial pose and reuse the instance stream for
+        # every iteration: tracking moves the camera millimeters per step,
+        # so tile assignment and depth order are effectively constant while
+        # the blend geometry (means2d/conic per iteration) stays exact.
+        # ~1.7x faster tracking; a documented deviation from the reference,
+        # which re-sorts every iteration — off by default.
+        import jax.numpy as _jnp
+
+        from splatam_tpu.core.transforms import transform_to_frame
+        from splatam_tpu.render.binning import bin_gaussians_csr
+        from splatam_tpu.render.geometry import preprocess
+
+        iso = params["log_scales"].shape[1] == 1
+        log_scales = (
+            _jnp.tile(params["log_scales"], (1, 3)) if iso
+            else params["log_scales"]
+        )
+        pts, rots, _ = transform_to_frame(
+            params["means3D"], params["unnorm_rotations"], rot0, tran0,
+            transform_rots=not iso, gaussians_grad=False, camera_grad=False,
+        )
+        proj0 = preprocess(
+            pts, _jnp.exp(log_scales), normalize(rots), cam, active=active
+        )
+        binned = bin_gaussians_csr(
+            jax.tree.map(jax.lax.stop_gradient, proj0), cam, cfg
+        )
 
     def loss_fn(pose):
         out = slam_loss(
@@ -86,6 +117,7 @@ def track_frame(
             loss_w_im=loss_w_im, loss_w_depth=loss_w_depth,
             use_sil_for_loss=use_sil_for_loss, sil_thres=sil_thres,
             ignore_outlier_depth_loss=ignore_outlier_depth_loss,
+            binned=binned,
         )
         return out.loss, out
 

@@ -1,0 +1,47 @@
+"""fixed_binning tracking: frozen per-frame instance stream still converges."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from splatam_tpu.data.synthetic import SyntheticDataset
+from splatam_tpu.render.binning import RasterConfig
+from splatam_tpu.slam.initialize import initialize_first_timestep
+from splatam_tpu.slam.tracking import track_frame
+
+
+def test_fixed_binning_tracks_as_well():
+    ds = SyntheticDataset(num_frames=2, width=64, height=48, seed=0)
+    color, depth, k, pose = ds[0]
+    params, variables, _, _, cam, _ = initialize_first_timestep(
+        color, depth, k, pose, 2, 3.0, "isotropic"
+    )
+    c1, d1, _, pose1 = ds[1]
+    im = jnp.asarray(np.transpose(c1, (2, 0, 1)) / 255.0, jnp.float32)
+    dep = jnp.asarray(np.transpose(d1, (2, 0, 1)), jnp.float32)
+    cfg = RasterConfig(
+        max_instances=2**16, max_per_tile=512, chunk=128, backend="pallas"
+    )
+    rot0 = params["cam_unnorm_rots"][0, :, 0]
+    tran0 = params["cam_trans"][0, :, 0]
+
+    losses = {}
+    poses = {}
+    for fb in (False, True):
+        r = track_frame(
+            params, variables["active"], rot0, tran0, im, dep, cam, cfg,
+            num_iters=15, fixed_binning=fb,
+        )
+        losses[fb] = float(r.best_loss)
+        poses[fb] = np.concatenate([np.asarray(r.best_rot), np.asarray(r.best_tran)])
+        assert not bool(r.overflow)
+
+    # both must improve over the initial pose and land near each other
+    r0 = track_frame(
+        params, variables["active"], rot0, tran0, im, dep, cam, cfg, num_iters=1
+    )
+    assert losses[True] < float(r0.best_loss)
+    assert losses[False] < float(r0.best_loss)
+    # mid-optimization poses agree to first order (binning staleness only
+    # perturbs the step direction, not the optimum)
+    np.testing.assert_allclose(poses[True], poses[False], atol=3e-2)
+    assert losses[True] < 1.25 * losses[False]
