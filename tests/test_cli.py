@@ -117,6 +117,32 @@ def test_slam_cli_end_to_end(replica_scene, tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["slam", str(cfg2)])
     slam.main()
 
+    # visualize the result through the viz CLI
+    from splatam_tpu.run import viz
+
+    monkeypatch.setattr(sys, "argv", ["viz", str(cfg), "--every", "3"])
+    viz.main()
+    assert os.path.exists(os.path.join(run_dir, "trajectory.png"))
+    assert len(os.listdir(os.path.join(run_dir, "recon"))) >= 2
+
+    # export ply through its CLI
+    from splatam_tpu.run import export_ply
+
+    monkeypatch.setattr(sys, "argv", ["export_ply", str(cfg)])
+    export_ply.main()
+
+
+def test_synthetic_slam_cli(monkeypatch):
+    import sys as _sys
+
+    from splatam_tpu.run import synthetic_slam
+
+    res = synthetic_slam.main(
+        ["--frames", "4", "--width", "64", "--height", "48",
+         "--track_iters", "5", "--map_iters", "5", "--backend", "jnp"]
+    )
+    assert res["ate_m"] < 0.1 and np.isfinite(res["psnr"])
+
 
 def test_slam_cli_separate_densify_res(replica_scene, tmp_path, monkeypatch):
     tmp, yaml = replica_scene
