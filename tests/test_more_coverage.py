@@ -1,0 +1,175 @@
+"""Anisotropic SLAM, remaining dataset formats, NVS eval."""
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.test_datasets import _camera_params, _write_jpg, _write_png16
+
+
+def test_anisotropic_tracking_and_mapping():
+    """Rotation-transforming (anisotropic) gaussians through track + map."""
+    from splatam_tpu.data.synthetic import SyntheticDataset
+    from splatam_tpu.render.binning import RasterConfig
+    from splatam_tpu.slam.initialize import initialize_first_timestep
+    from splatam_tpu.slam.mapping import init_mapping_optimizer, map_step
+    from splatam_tpu.slam.tracking import track_frame
+
+    ds = SyntheticDataset(num_frames=2, width=64, height=48, seed=0)
+    color, depth, k, pose = ds[0]
+    params, variables, _, _, cam, _ = initialize_first_timestep(
+        color, depth, k, pose, 2, 3.0, "anisotropic"
+    )
+    assert params["log_scales"].shape[1] == 3
+    c1, d1, _, _ = ds[1]
+    im = jnp.asarray(np.transpose(c1, (2, 0, 1)) / 255.0, jnp.float32)
+    dep = jnp.asarray(np.transpose(d1, (2, 0, 1)), jnp.float32)
+    cfg = RasterConfig(max_instances=2**17, max_per_tile=2048, chunk=32, backend="jnp")
+
+    r = track_frame(
+        params, variables["active"],
+        params["cam_unnorm_rots"][0, :, 0], params["cam_trans"][0, :, 0],
+        im, dep, cam, cfg, num_iters=8,
+    )
+    assert np.isfinite(float(r.best_loss)) and not bool(r.overflow)
+
+    opt = init_mapping_optimizer(params)
+    lrs = (
+        ("log_scales", 0.001), ("logit_opacities", 0.05), ("means3D", 0.0001),
+        ("rgb_colors", 0.0025), ("unnorm_rotations", 0.001),
+    )
+    res = map_step(
+        params, variables["active"], opt,
+        r.best_rot, r.best_tran, im, dep, cam, cfg, lrs=lrs,
+    )
+    assert np.isfinite(float(res.losses["loss"]))
+    moved = float(jnp.abs(res.params["unnorm_rotations"] - params["unnorm_rotations"]).max())
+    assert moved > 0  # rotations receive gradient in anisotropic mode
+
+
+def test_icl_azure_record3d_loaders(tmp_path):
+    rng = np.random.default_rng(0)
+    cam = _camera_params(64, 48, 1000.0)
+
+    # ICL: rgb/ + depth/ + *.gt.sim (3 rows of 4 floats per frame)
+    icl = tmp_path / "icl" / "lr0"
+    (icl / "rgb").mkdir(parents=True)
+    (icl / "depth").mkdir()
+    simlines = []
+    for i in range(3):
+        _write_jpg(icl / "rgb" / f"{i}.png", rng.uniform(0, 255, (48, 64, 3)))
+        _write_png16(icl / "depth" / f"{i}.png", rng.uniform(500, 3000, (48, 64)))
+        m = np.eye(4)
+        m[0, 3] = 0.1 * i
+        for r in range(3):
+            simlines.append(" ".join(str(v) for v in m[r]))
+        simlines.append("")
+    (icl / "traj.gt.sim").write_text("\n".join(simlines))
+    from splatam_tpu.data import ICLDataset
+
+    ds = ICLDataset({"dataset_name": "icl", "camera_params": cam},
+                    str(tmp_path / "icl"), "lr0",
+                    desired_height=48, desired_width=64)
+    assert len(ds) == 3
+    np.testing.assert_allclose(ds[2][3][:3, 3], [0.2, 0, 0], atol=1e-6)
+
+    # Azure: color/ + depth/ + .log odometry
+    az = tmp_path / "azure" / "seq"
+    (az / "color").mkdir(parents=True)
+    (az / "depth").mkdir()
+    loglines = []
+    for i in range(2):
+        _write_jpg(az / "color" / f"{i}.jpg", rng.uniform(0, 255, (48, 64, 3)))
+        _write_png16(az / "depth" / f"{i}.png", rng.uniform(500, 3000, (48, 64)))
+        m = np.eye(4)
+        m[1, 3] = 0.2 * i
+        loglines.append(f"{i} {i} {i+1}")
+        for r in range(4):
+            loglines.append(" ".join(str(v) for v in m[r]))
+    (az / "odometry.log").write_text("\n".join(loglines) + "\n")
+    from splatam_tpu.data import AzureKinectDataset
+
+    ds = AzureKinectDataset(
+        {"dataset_name": "azure", "camera_params": cam},
+        str(tmp_path / "azure"), "seq", odomfile="odometry.log",
+        desired_height=48, desired_width=64,
+    )
+    assert len(ds) == 2
+    np.testing.assert_allclose(ds[1][3][:3, 3], [0, 0.2, 0], atol=1e-6)
+
+    # Record3D: rgb/ + depth/ + poses/*.npy with OpenGL->OpenCV flip
+    r3 = tmp_path / "r3d" / "seq"
+    (r3 / "rgb").mkdir(parents=True)
+    (r3 / "depth").mkdir()
+    (r3 / "poses").mkdir()
+    for i in range(2):
+        _write_jpg(r3 / "rgb" / f"{i}.png", rng.uniform(0, 255, (48, 64, 3)))
+        _write_png16(r3 / "depth" / f"{i}.png", rng.uniform(500, 3000, (48, 64)))
+        m = np.eye(4)
+        m[2, 3] = 0.3 * i
+        np.save(r3 / "poses" / f"{i}.npy", m)
+    from splatam_tpu.data import Record3DDataset
+
+    ds = Record3DDataset(
+        {"dataset_name": "record3d", "camera_params": cam},
+        str(tmp_path / "r3d"), "seq", desired_height=48, desired_width=64,
+    )
+    assert len(ds) == 2
+    # P @ c2w @ P^T flips the z translation sign; relative pose keeps it
+    np.testing.assert_allclose(abs(ds[1][3][2, 3]), 0.3, atol=1e-6)
+
+
+def test_replicav2_nvs_split(tmp_path):
+    rng = np.random.default_rng(1)
+    base = tmp_path / "room0" / "imap"
+    for split in ("00", "01"):
+        (base / split / "rgb").mkdir(parents=True)
+        (base / split / "depth").mkdir()
+        lines = []
+        for i in range(3):
+            _write_jpg(base / split / "rgb" / f"rgb_{i}.png",
+                       rng.uniform(0, 255, (48, 64, 3)))
+            _write_png16(base / split / "depth" / f"depth_{i}.png",
+                         rng.uniform(500, 3000, (48, 64)))
+            m = np.eye(4)
+            m[0, 3] = (0.1 if split == "00" else 0.5) * i
+            lines.append(" ".join(str(v) for v in m.ravel()))
+        (base / split / "traj_w_c.txt").write_text("\n".join(lines) + "\n")
+
+    from splatam_tpu.data import ReplicaV2Dataset
+
+    cam = _camera_params(64, 48, 1000.0)
+    train = ReplicaV2Dataset({"dataset_name": "replicav2", "camera_params": cam},
+                             str(tmp_path), "room0", use_train_split=True,
+                             desired_height=48, desired_width=64)
+    test = ReplicaV2Dataset({"dataset_name": "replicav2", "camera_params": cam},
+                            str(tmp_path), "room0", use_train_split=False,
+                            desired_height=48, desired_width=64)
+    assert len(train) == 3
+    assert len(test) == 4  # first train frame prepended
+    np.testing.assert_allclose(test[0][3], np.eye(4), atol=1e-6)
+
+
+def test_eval_nvs_hole_masking(tmp_path):
+    """eval_nvs runs and flags hole-free vs holey views."""
+    from splatam_tpu.core.params import initialize_params
+    from splatam_tpu.data.synthetic import SyntheticDataset
+    from splatam_tpu.eval.nvs import eval_nvs
+    from splatam_tpu.gs import offline_splatting
+    from splatam_tpu.render.binning import RasterConfig
+    from tests.test_offline_gs import _config
+
+    ds = SyntheticDataset(num_frames=4, width=64, height=48, seed=0)
+    state = offline_splatting(_config(4, 20), ds, progress=False)
+    res = eval_nvs(
+        ds, state.params, state.variables["active"], 4,
+        str(tmp_path / "nvs"), sil_thres=0.5, mapping_iters=20,
+        add_new_gaussians=True,
+        raster_cfg=RasterConfig(max_instances=2**16, max_per_tile=512,
+                                chunk=32, backend="jnp"),
+    )
+    assert np.isfinite(res["psnr"]) and res["psnr"] > 10
+    assert 0.0 <= res["valid_frac"] <= 1.0
+    assert os.path.exists(tmp_path / "nvs" / "nvs_psnr.txt")
