@@ -6,6 +6,26 @@ analysis this framework was built against.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("SPLATAM_TPU_NO_COMPILATION_CACHE", "0") != "1":
+    # Persistent compilation cache: TPU compiles of the SLAM programs cost
+    # 20-120 s each (remote compile helper); the cache turns reruns into
+    # ~3 s loads. Harmless on CPU.
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "SPLATAM_TPU_COMPILATION_CACHE",
+                _os.path.expanduser("~/.cache/splatam_tpu_jax"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from splatam_tpu.render.binning import RasterConfig  # noqa: F401
 from splatam_tpu.render.camera import Camera, setup_camera  # noqa: F401
 from splatam_tpu.render.render_tiled import rasterize_tiled  # noqa: F401

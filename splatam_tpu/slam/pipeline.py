@@ -25,6 +25,7 @@ from splatam_tpu.core.params import (
     Params,
     Variables,
     capacity_of,
+    grow_capacity,
     num_active,
 )
 from splatam_tpu.core.transforms import (
@@ -129,6 +130,11 @@ def rgbd_slam(
         config.get("gaussian_distribution", "isotropic"),
         config.get("mean_sq_dist_method", "projective"),
     )
+    # Pre-sizing the map capacity avoids the growth-doubling recompiles
+    # (each one recompiles the tracking scan + mapping step, 1-2 min on TPU).
+    cap_hint = config.get("map_capacity")
+    if cap_hint and cap_hint > capacity_of(params):
+        params, variables, _ = grow_capacity(params, variables, None, cap_hint)
     state.cam, state.intrinsics, state.first_w2c = cam, k3, first_w2c
     state.scene_radius = scene_radius
 
