@@ -65,12 +65,28 @@ def adam_step(
 
 def zero_state_slots(state: AdamState, keys, start: int, stop: int) -> AdamState:
     """Zero the moments of slots [start, stop) for the given parameter keys
-    (cat_params_to_optimizer parity: new points start with zero moments)."""
+    (cat_params_to_optimizer parity: new points start with zero moments).
+
+    The range is quantized and the offset traced so the update program is
+    shape-stable across appends (slots past ``stop`` are unused, so zeroing
+    up to the quantum boundary is harmless); python-int slices would compile
+    a fresh program per append on TPU.
+    """
+    from splatam_tpu.core.params import APPEND_QUANTUM, _write_rows_jit
+
+    cap = next(iter(state.mu[k] for k in keys)).shape[0]
+    n = stop - start
+    if n <= 0:
+        return state
+    nq = min(((n + APPEND_QUANTUM - 1) // APPEND_QUANTUM) * APPEND_QUANTUM,
+             cap - start)
+    start_t = jnp.asarray(start, jnp.int32)
     mu = dict(state.mu)
     nu = dict(state.nu)
     for k in keys:
-        mu[k] = mu[k].at[start:stop].set(0.0)
-        nu[k] = nu[k].at[start:stop].set(0.0)
+        z = jnp.zeros((nq,) + mu[k].shape[1:], mu[k].dtype)
+        mu[k] = _write_rows_jit(mu[k], z, start_t)
+        nu[k] = _write_rows_jit(nu[k], z, start_t)
     return AdamState(mu=mu, nu=nu, step=state.step)
 
 

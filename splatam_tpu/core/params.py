@@ -88,6 +88,48 @@ def initialize_params(
     return params, variables
 
 
+@jax.jit
+def _get_pose_jit(rots: jax.Array, trans: jax.Array, t: jax.Array):
+    rot = jax.lax.dynamic_slice_in_dim(rots, t, 1, axis=2)[0, :, 0]
+    tran = jax.lax.dynamic_slice_in_dim(trans, t, 1, axis=2)[0, :, 0]
+    return rot, tran
+
+
+def get_pose(params: Params, t) -> Tuple[jax.Array, jax.Array]:
+    """(cam_unnorm_rot (4,), cam_tran (3,)) at frame ``t``.
+
+    The frame index is TRACED: eager `arr[0, :, t]` with a python int bakes
+    the index into the program, so every new frame triggers a fresh
+    ~seconds-long remote compile on the tunneled TPU — this was the dominant
+    per-frame cost of the SLAM loop before being hoisted here.
+    """
+    return _get_pose_jit(
+        params["cam_unnorm_rots"], params["cam_trans"],
+        jnp.asarray(t, jnp.int32),
+    )
+
+
+@jax.jit
+def _set_pose_jit(rots, trans, t, rot, tran):
+    rots = jax.lax.dynamic_update_slice_in_dim(
+        rots, rot.astype(rots.dtype).reshape(1, -1, 1), t, axis=2
+    )
+    trans = jax.lax.dynamic_update_slice_in_dim(
+        trans, tran.astype(trans.dtype).reshape(1, -1, 1), t, axis=2
+    )
+    return rots, trans
+
+
+def set_pose(params: Params, t, rot, tran) -> Params:
+    """Write a pose into the trajectory arrays (traced index, see get_pose)."""
+    params = dict(params)
+    params["cam_unnorm_rots"], params["cam_trans"] = _set_pose_jit(
+        params["cam_unnorm_rots"], params["cam_trans"],
+        jnp.asarray(t, jnp.int32), jnp.asarray(rot), jnp.asarray(tran),
+    )
+    return params
+
+
 def num_active(variables: Variables) -> int:
     return int(jnp.sum(variables["active"]))
 
@@ -126,8 +168,21 @@ def grow_capacity(
         mu, nu, count = opt_state
         mu = {k: (grow(v) if k in GAUSSIAN_KEYS else v) for k, v in mu.items()}
         nu = {k: (grow(v) if k in GAUSSIAN_KEYS else v) for k, v in nu.items()}
-        opt_state = (mu, nu, count)
+        # preserve the AdamState NamedTuple type (attribute access downstream)
+        opt_state = type(opt_state)(mu, nu, count)
     return new_params, new_vars, opt_state
+
+
+# Appended blocks are padded to this many slots so the update programs
+# compile once per (capacity, quantum) instead of once per append size.
+APPEND_QUANTUM = 1024
+
+
+@jax.jit
+def _write_rows_jit(arr: jax.Array, block: jax.Array, start: jax.Array):
+    return jax.lax.dynamic_update_slice_in_dim(
+        arr, block.astype(arr.dtype), start, axis=0
+    )
 
 
 def append_gaussians(
@@ -142,26 +197,44 @@ def append_gaussians(
     Mirrors `add_new_gaussians`'s torch.cat + accumulator reset
     (`scripts/splatam.py:417-426`): the 2D-stat accumulators are zeroed for
     ALL Gaussians, new Adam moments start at zero (cat_params_to_optimizer
-    parity, `utils/slam_external.py:123-137`).
+    parity, `utils/slam_external.py:123-137`). Blocks are quantized to
+    APPEND_QUANTUM rows and written with a traced start offset so the device
+    programs are shape-stable across frames (see get_pose).
     """
     m = int(new_values["means3D"].shape[0])
     if m == 0:
         return params, variables, opt_state
+    mq = ((m + APPEND_QUANTUM - 1) // APPEND_QUANTUM) * APPEND_QUANTUM
     start = slots_used(variables)
     cap = capacity_of(params)
-    if start + m > cap:
+    if start + mq > cap:
         params, variables, opt_state = grow_capacity(
-            params, variables, opt_state, round_capacity(start + m, minimum=2 * cap)
+            params, variables, opt_state, round_capacity(start + mq, minimum=2 * cap)
         )
         cap = capacity_of(params)
 
+    start_t = jnp.asarray(start, jnp.int32)
+
+    def padded(x, fill=0.0):
+        out = np.full((mq,) + x.shape[1:], fill, np.float32)
+        out[:m] = x
+        return jnp.asarray(out)
+
     params = dict(params)
     for k in GAUSSIAN_KEYS:
-        params[k] = params[k].at[start : start + m].set(jnp.asarray(new_values[k]))
+        params[k] = _write_rows_jit(
+            params[k], padded(np.asarray(new_values[k])), start_t
+        )
     variables = dict(variables)
-    variables["active"] = variables["active"].at[start : start + m].set(True)
-    variables["timestep"] = variables["timestep"].at[start : start + m].set(
-        float(time_idx)
+    active_block = np.zeros(mq, bool)
+    active_block[:m] = True
+    variables["active"] = _write_rows_jit(
+        variables["active"], jnp.asarray(active_block), start_t
+    )
+    ts_block = np.zeros(mq, np.float32)
+    ts_block[:m] = float(time_idx)
+    variables["timestep"] = _write_rows_jit(
+        variables["timestep"], jnp.asarray(ts_block), start_t
     )
     variables["means2D_gradient_accum"] = jnp.zeros(cap, jnp.float32)
     variables["denom"] = jnp.zeros(cap, jnp.float32)

@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from splatam_tpu.core.transforms import pose_to_w2c
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.render.camera import replace_pose, setup_camera
 from splatam_tpu.render.render_tiled import rasterize_tiled

@@ -58,11 +58,9 @@ def trajectory_from_params(params, first_w2c: np.ndarray, gt_w2c_list: List[np.n
     for idx in range(1, min(num_frames, len(gt_w2c_list))):
         if np.isnan(gt_w2c_list[idx]).any():
             continue
-        w2c = np.asarray(
-            pose_to_w2c(
-                params["cam_unnorm_rots"][0, :, idx], params["cam_trans"][0, :, idx]
-            )
-        )
+        from splatam_tpu.core.params import get_pose
+
+        w2c = np.asarray(pose_to_w2c(*get_pose(params, idx)))
         est.append(w2c)
         gt.append(np.asarray(gt_w2c_list[idx]))
     return gt, est

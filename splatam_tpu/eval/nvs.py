@@ -46,6 +46,9 @@ def eval_nvs(
         )[0]
     )
 
+    gauss_only = {
+        k: v for k, v in final_params.items() if not k.startswith("cam_")
+    }
     psnr_list, ssim_list, lpips_list = [], [], []
     rmse_list, l1_list = [], []
     valid_frames: List[bool] = []
@@ -72,7 +75,7 @@ def eval_nvs(
         # render at the GT test pose
         w2c = jnp.asarray(gt_w2c, jnp.float32)
         rot = matrix_to_quaternion(w2c[:3, :3])
-        out = render(final_params, active, rot, w2c[:3, 3], cam)
+        out = render(gauss_only, active, rot, w2c[:3, 3], cam)
         im = out.color[:3]
         rastered_depth = out.color[3:4]
         silhouette = out.color[4]

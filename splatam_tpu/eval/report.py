@@ -9,11 +9,11 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from splatam_tpu.core.losses import render_for_loss
+from splatam_tpu.core.params import get_pose
 from splatam_tpu.core.transforms import pose_to_w2c
 from splatam_tpu.eval.ate import evaluate_ate
 from splatam_tpu.eval.metrics import psnr
@@ -30,14 +30,7 @@ def partial_trajectory_ate(
     for idx in range(1, up_to + 1):
         if np.isnan(gt_w2c_list[idx]).any():
             continue
-        est.append(
-            np.asarray(
-                pose_to_w2c(
-                    params["cam_unnorm_rots"][0, :, idx],
-                    params["cam_trans"][0, :, idx],
-                )
-            )
-        )
+        est.append(np.asarray(pose_to_w2c(*get_pose(params, idx))))
         gt.append(np.asarray(gt_w2c_list[idx]))
     return evaluate_ate(gt, est)
 
@@ -59,10 +52,10 @@ def report_progress(
 ) -> Dict[str, float]:
     """Render the current frame at its estimated pose and report PSNR +
     depth error (+ partial ATE when tracking)."""
+    rot_t, tran_t = get_pose(params, time_idx)
+    gauss_only = {k: v for k, v in params.items() if not k.startswith("cam_")}
     out, _ = render_for_loss(
-        params, active,
-        params["cam_unnorm_rots"][0, :, time_idx],
-        params["cam_trans"][0, :, time_idx],
+        gauss_only, active, rot_t, tran_t,
         cam, raster_cfg, gaussians_grad=False, camera_grad=False,
     )
     im = out.color[:3]

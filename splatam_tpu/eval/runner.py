@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from splatam_tpu.core.losses import render_for_loss
+from splatam_tpu.core.params import get_pose
 from splatam_tpu.eval.ate import evaluate_ate, trajectory_from_params
 from splatam_tpu.eval.lpips import load_lpips
 from splatam_tpu.eval.metrics import ms_ssim, psnr
@@ -86,6 +87,10 @@ def eval_sequence(
         )[0],
         static_argnames=(),
     )
+    # trajectory arrays are sequence-length-dependent; keep them out of jit
+    gauss_only = {
+        k: v for k, v in final_params.items() if not k.startswith("cam_")
+    }
 
     for time_idx in range(num_frames):
         color, depth, intrinsics, pose = dataset[time_idx]
@@ -107,12 +112,8 @@ def eval_sequence(
             np.transpose(np.asarray(depth), (2, 0, 1)), jnp.float32
         )
 
-        out = render(
-            final_params, active,
-            final_params["cam_unnorm_rots"][0, :, time_idx],
-            final_params["cam_trans"][0, :, time_idx],
-            cam,
-        )
+        rot_t, tran_t = get_pose(final_params, time_idx)
+        out = render(gauss_only, active, rot_t, tran_t, cam)
         im = out.color[:3]
         rastered_depth = out.color[3:4]
         silhouette = out.color[4]

@@ -21,7 +21,7 @@ import numpy as np
 
 from splatam_tpu.core.losses import calc_ssim, l1_loss_v1, render_for_loss
 from splatam_tpu.core.optim import AdamState, adam_step, init_adam
-from splatam_tpu.core.params import GAUSSIAN_KEYS, Params, Variables
+from splatam_tpu.core.params import GAUSSIAN_KEYS, Params, Variables, get_pose
 from splatam_tpu.core.transforms import matrix_to_quaternion
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.render.camera import Camera
@@ -170,6 +170,7 @@ def offline_splatting(
                 state.intrinsics, cam, raster_cfg,
                 train["sil_thres"], time_idx,
                 config.get("gaussian_distribution", "isotropic"),
+                pose=(rot, rel[:3, 3]),
             )
         if progress and time_idx % 50 == 0:
             print(f"init frame {time_idx}/{num_frames} "
@@ -197,16 +198,20 @@ def offline_splatting(
         )
         t_idx = int(rng.integers(0, num_frames))
         frame_im, frame_depth = frames[t_idx]
+        rot_t, tran_t = get_pose(params, t_idx)
+        gauss_only = {k: params[k] for k in GAUSSIAN_KEYS}
         res = gs_step(
-            params, variables["active"], opt_state,
-            jax.lax.stop_gradient(params["cam_unnorm_rots"][0, :, t_idx]),
-            jax.lax.stop_gradient(params["cam_trans"][0, :, t_idx]),
+            gauss_only, variables["active"], opt_state,
+            jax.lax.stop_gradient(rot_t),
+            jax.lax.stop_gradient(tran_t),
             frame_im, frame_depth, cam, raster_cfg,
             lr_keys, lr_vals,
             loss_w_im=train["loss_weights"]["im"],
             loss_w_depth=train["loss_weights"]["depth"],
         )
-        params, opt_state = res.params, res.opt_state
+        params = dict(params)
+        params.update(res.params)
+        opt_state = res.opt_state
         variables["max_2D_radius"] = jnp.where(
             res.seen,
             jnp.maximum(res.radius.astype(jnp.float32), variables["max_2D_radius"]),

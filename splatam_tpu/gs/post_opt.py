@@ -55,14 +55,11 @@ def initialize_from_checkpoint(
         ),
     }
 
+    from splatam_tpu.core.params import get_pose
+
     est_w2c = np.stack(
         [
-            np.asarray(
-                pose_to_w2c(
-                    params["cam_unnorm_rots"][0, :, t],
-                    params["cam_trans"][0, :, t],
-                )
-            )
+            np.asarray(pose_to_w2c(*get_pose(params, t)))
             for t in range(min(num_frames, params["cam_trans"].shape[-1]))
         ]
     )

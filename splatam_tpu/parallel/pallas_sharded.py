@@ -14,7 +14,6 @@ Differentiable end to end: wrap in jax.grad inside or outside shard_map.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +22,7 @@ from jax.sharding import PartitionSpec as P
 from splatam_tpu.render.binning import RasterConfig, bin_gaussians_csr
 from splatam_tpu.render.camera import Camera
 from splatam_tpu.render.geometry import TILE, preprocess
-from splatam_tpu.render.pallas_raster import (
-    NFEAT_PAD,
-    pack_attrs,
-    rasterize_tiles_pallas,
-)
+from splatam_tpu.render.pallas_raster import pack_attrs, rasterize_tiles_pallas
 from splatam_tpu.render.render_tiled import RenderAux, RenderOutput
 from splatam_tpu.render.geometry import MEDIAN_DEPTH_INIT
 

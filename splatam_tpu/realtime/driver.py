@@ -9,13 +9,13 @@ mapped frame the visited-pose list grows and H_train_inv is recomputed.
 from __future__ import annotations
 
 import time
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from splatam_tpu.core.params import capacity_of, num_active
+from splatam_tpu.core.params import GAUSSIAN_KEYS, capacity_of, get_pose, num_active
 from splatam_tpu.core.transforms import pose_to_w2c
 from splatam_tpu.realtime.handler import ActiveViewHandler, GainConfig
 from splatam_tpu.render.binning import RasterConfig
@@ -139,8 +139,9 @@ def realtime_slam(
                     params, time_idx, matrix_to_quaternion(rel[:3, :3]), rel[:3, 3]
                 )
             else:
+                gauss_only = {k: params[k] for k in GAUSSIAN_KEYS}
                 res = track_frame(
-                    params, variables["active"], rot0, tran0,
+                    gauss_only, variables["active"], rot0, tran0,
                     frame_im, frame_depth, state.cam, raster_cfg,
                     num_iters=cfg_track["num_iters"],
                     use_sil_for_loss=cfg_track["use_sil_for_loss"],
@@ -160,13 +161,9 @@ def realtime_slam(
                 state.intrinsics, state.cam, raster_cfg,
                 cfg_map["sil_thres"], time_idx,
                 config.get("gaussian_distribution", "isotropic"),
+                pose=get_pose(params, time_idx),
             )
-        curr_w2c = np.asarray(
-            pose_to_w2c(
-                params["cam_unnorm_rots"][0, :, time_idx],
-                params["cam_trans"][0, :, time_idx],
-            )
-        )
+        curr_w2c = np.asarray(pose_to_w2c(*get_pose(params, time_idx)))
         selected = keyframe_selection_overlap(
             np.asarray(frame_depth), curr_w2c, state.intrinsics,
             state.keyframe_list[:-1], config["mapping_window_size"] - 2, rng=rng,
@@ -179,12 +176,14 @@ def realtime_slam(
              "depth": frame_depth}
         )
         opt_state = init_mapping_optimizer(params)
+        gauss_map = {k: params[k] for k in GAUSSIAN_KEYS}
         for it in range(cfg_map["num_iters"]):
             kf = selected_frames[rng.integers(0, len(selected_frames))]
+            kf_rot, kf_tran = get_pose(params, kf["id"])
             result = map_step(
-                params, variables["active"], opt_state,
-                jax.lax.stop_gradient(params["cam_unnorm_rots"][0, :, kf["id"]]),
-                jax.lax.stop_gradient(params["cam_trans"][0, :, kf["id"]]),
+                gauss_map, variables["active"], opt_state,
+                jax.lax.stop_gradient(kf_rot),
+                jax.lax.stop_gradient(kf_tran),
                 kf["im"], kf["depth"], state.cam, raster_cfg,
                 lrs=gauss_lrs,
                 sil_thres=cfg_map["sil_thres"],
@@ -194,13 +193,14 @@ def realtime_slam(
                 loss_w_depth=cfg_map["loss_weights"]["depth"],
             )
             opt_state = result.opt_state
-            new_params = result.params
+            gauss_map = result.params
             if cfg_map.get("prune_gaussians", False):
-                new_params, variables, opt_state = prune_gaussians(
-                    new_params, variables, opt_state, it,
+                gauss_map, variables, opt_state = prune_gaussians(
+                    gauss_map, variables, opt_state, it,
                     cfg_map["pruning_dict"], state.scene_radius,
                 )
-            params = new_params
+        params = dict(params)
+        params.update(gauss_map)
 
         # keyframe bookkeeping
         if (

@@ -107,7 +107,8 @@ class ActiveViewHandler:
         (`ros_handler.py:955-985`)."""
         w2c = jnp.asarray(w2c, jnp.float32)
         rot = matrix_to_quaternion(w2c[:3, :3])
-        out = self._render(params, active, rot, w2c[:3, 3])
+        gauss = {k: v for k, v in params.items() if not k.startswith("cam_")}
+        out = self._render(gauss, active, rot, w2c[:3, 3])
         return out.color[:3], out.color[3:4], out.color[4]
 
     # -- Fisher bookkeeping --------------------------------------------------
@@ -115,8 +116,9 @@ class ActiveViewHandler:
         """(N, 4) diagonal Fisher at a pose (`ros_handler.py:839-902`)."""
         w2c = jnp.asarray(w2c, jnp.float32)
         rot = matrix_to_quaternion(w2c[:3, :3])
+        gauss = {k: v for k, v in params.items() if not k.startswith("cam_")}
         h = render_fisher(
-            params, active, rot, w2c[:3, 3], self.cam, self.raster_cfg,
+            gauss, active, rot, w2c[:3, 3], self.cam, self.raster_cfg,
             seed_value=self.cfg.fisher_seed,
         )
         return np.asarray(h)

@@ -30,7 +30,6 @@ from splatam_tpu.render.geometry import (
     preprocess,
 )
 from splatam_tpu.render.binning import (
-    Binned,
     RasterConfig,
     bin_gaussians,
     bin_gaussians_csr,

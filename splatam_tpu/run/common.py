@@ -11,7 +11,7 @@ import os
 import random
 import shutil
 from importlib.machinery import SourceFileLoader
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

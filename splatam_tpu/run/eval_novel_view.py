@@ -9,9 +9,6 @@ from __future__ import annotations
 
 import os
 
-import jax.numpy as jnp
-import numpy as np
-
 from splatam_tpu.eval.nvs import eval_nvs
 from splatam_tpu.eval.runner import eval_sequence
 from splatam_tpu.render.binning import RasterConfig

@@ -109,16 +109,18 @@ def main(argv=None):
             pr, a, r, t, state.cam, cfg, gaussians_grad=False, camera_grad=False
         )[0]
     )
+    gauss_only = {
+        k: v for k, v in state.params.items() if not k.startswith("cam_")
+    }
     psnrs, depth_l1s = [], []
     for t in range(args.frames):
         color, depth, _, _ = ds[t]
         im_gt = jnp.asarray(np.transpose(color, (2, 0, 1)) / 255.0, jnp.float32)
         d_gt = jnp.asarray(np.transpose(depth, (2, 0, 1)), jnp.float32)
-        out = render(
-            state.params, state.variables["active"],
-            state.params["cam_unnorm_rots"][0, :, t],
-            state.params["cam_trans"][0, :, t],
-        )
+        from splatam_tpu.core.params import get_pose
+
+        rot_t, tran_t = get_pose(state.params, t)
+        out = render(gauss_only, state.variables["active"], rot_t, tran_t)
         valid = d_gt > 0
         psnrs.append(float(calc_psnr(out.color[:3] * valid, im_gt * valid)))
         depth_l1s.append(

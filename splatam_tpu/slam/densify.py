@@ -8,7 +8,7 @@ capacity-padded map via `append_gaussians`.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,7 @@ from splatam_tpu.core.params import (
     Params,
     Variables,
     append_gaussians,
+    get_pose,
     slots_used,
 )
 from splatam_tpu.core.transforms import pose_to_w2c
@@ -50,15 +51,20 @@ def add_new_gaussians(
     sil_thres: float,
     time_idx: int,
     gaussian_distribution: str,
+    pose=None,  # (rot, tran); defaults to the trajectory at time_idx
 ) -> Tuple[Params, Variables, AdamState | None, int]:
     """Append Gaussians where the map fails to explain the frame.
 
-    Returns (params, variables, opt_state, num_added).
+    Returns (params, variables, opt_state, num_added). The render below is
+    given ONLY the gaussian arrays — jitted programs must not see the
+    trajectory arrays, whose length varies per sequence and would force a
+    recompile of everything for every new sequence length.
     """
-    cam_rot = params["cam_unnorm_rots"][0, :, time_idx]
-    cam_tran = params["cam_trans"][0, :, time_idx]
+    cam_rot, cam_tran = pose if pose is not None else get_pose(params, time_idx)
+    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
+    gauss["log_scales"] = params["log_scales"]
     render_depth, silhouette = _render_depth_sil(
-        params, variables["active"], cam_rot, cam_tran, cam, cfg
+        gauss, variables["active"], cam_rot, cam_tran, cam, cfg
     )
 
     gt_depth = frame_depth[0]

@@ -15,24 +15,23 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from splatam_tpu.core.params import (
+    GAUSSIAN_KEYS,
     Params,
     Variables,
     capacity_of,
+    get_pose,
     grow_capacity,
     num_active,
+    set_pose,
 )
-from splatam_tpu.core.transforms import (
-    matrix_to_quaternion,
-    normalize,
-    pose_to_w2c,
-)
+from splatam_tpu.core.transforms import matrix_to_quaternion, pose_to_w2c
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.slam.densify import add_new_gaussians
 from splatam_tpu.slam.initialize import initialize_first_timestep
@@ -62,10 +61,7 @@ def _bump_raster(cfg: RasterConfig) -> RasterConfig:
 
 
 def _set_pose(params: Params, time_idx: int, rot, tran) -> Params:
-    params = dict(params)
-    params["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, time_idx].set(rot)
-    params["cam_trans"] = params["cam_trans"].at[0, :, time_idx].set(tran)
-    return params
+    return set_pose(params, time_idx, rot, tran)
 
 
 class SlamState:
@@ -179,12 +175,7 @@ def rgbd_slam(
             )
             if t in kf_inds:
                 frame_im, frame_depth = _as_frame(color, depth)
-                curr_w2c = np.asarray(
-                    pose_to_w2c(
-                        params["cam_unnorm_rots"][0, :, t],
-                        params["cam_trans"][0, :, t],
-                    )
-                )
+                curr_w2c = np.asarray(pose_to_w2c(*get_pose(params, t)))
                 state.keyframe_list.append(
                     {"id": t, "est_w2c": curr_w2c, "im": frame_im,
                      "depth": frame_depth}
@@ -217,9 +208,14 @@ def rgbd_slam(
             else:
                 n_iters = cfg_track["num_iters"]
 
+                # jitted programs must not see the trajectory arrays:
+                # their length varies per sequence and would retrace (and
+                # cache-miss) every big program for every new num_frames
+                gauss_only = {k: params[k] for k in GAUSSIAN_KEYS}
+
                 def run_track(n):
                     return track_frame(
-                        params, variables["active"], rot0, tran0,
+                        gauss_only, variables["active"], rot0, tran0,
                         track_im, track_depth, track_cam, raster_cfg,
                         num_iters=n,
                         use_sil_for_loss=cfg_track["use_sil_for_loss"],
@@ -283,15 +279,11 @@ def rgbd_slam(
                     densify_k3, densify_cam, raster_cfg,
                     cfg_map["sil_thres"], time_idx,
                     config.get("gaussian_distribution", "isotropic"),
+                    pose=get_pose(params, time_idx),
                 )
 
             # keyframe selection
-            curr_w2c = np.asarray(
-                pose_to_w2c(
-                    params["cam_unnorm_rots"][0, :, time_idx],
-                    params["cam_trans"][0, :, time_idx],
-                )
-            )
+            curr_w2c = np.asarray(pose_to_w2c(*get_pose(params, time_idx)))
             num_kf = config["mapping_window_size"] - 2
             selected = keyframe_selection_overlap(
                 np.asarray(frame_depth), curr_w2c, state.intrinsics,
@@ -311,13 +303,14 @@ def rgbd_slam(
 
             t1 = time.time()
             opt_state = init_mapping_optimizer(params)
+            gauss_map = {k: params[k] for k in GAUSSIAN_KEYS}
             for it in range(cfg_map["num_iters"]):
                 kf = selected_frames[rng.integers(0, len(selected_frames))]
-                t_kf = kf["id"]
+                kf_rot, kf_tran = get_pose(params, kf["id"])
                 result = map_step(
-                    params, variables["active"], opt_state,
-                    jax.lax.stop_gradient(params["cam_unnorm_rots"][0, :, t_kf]),
-                    jax.lax.stop_gradient(params["cam_trans"][0, :, t_kf]),
+                    gauss_map, variables["active"], opt_state,
+                    jax.lax.stop_gradient(kf_rot),
+                    jax.lax.stop_gradient(kf_tran),
                     kf["im"], kf["depth"], cam, raster_cfg,
                     lrs=gauss_lrs,
                     sil_thres=cfg_map["sil_thres"],
@@ -326,20 +319,19 @@ def rgbd_slam(
                     loss_w_im=cfg_map["loss_weights"]["im"],
                     loss_w_depth=cfg_map["loss_weights"]["depth"],
                 )
-                if bool(result.overflow) and it == 0:
+                if it == 0 and bool(result.overflow):  # sync only on iter 0
                     raster_cfg = _bump_raster(raster_cfg)
                     print(
                         f"[info] raster overflow in mapping at frame {time_idx}: "
                         f"max_per_tile={raster_cfg.max_per_tile}"
                     )
                 opt_state = result.opt_state
-                new_params = result.params
+                gauss_map = result.params
                 if cfg_map.get("prune_gaussians", False):
-                    new_params, variables, opt_state = prune_gaussians(
-                        new_params, variables, opt_state, it,
+                    gauss_map, variables, opt_state = prune_gaussians(
+                        gauss_map, variables, opt_state, it,
                         cfg_map["pruning_dict"], state.scene_radius,
                     )
-                params = new_params
                 variables["max_2D_radius"] = jnp.where(
                     result.seen,
                     jnp.maximum(
@@ -348,6 +340,8 @@ def rgbd_slam(
                     ),
                     variables["max_2D_radius"],
                 )
+            params = dict(params)
+            params.update(gauss_map)
             state.timing["mapping_frame"].append(time.time() - t1)
 
         # --- keyframe bookkeeping ---
@@ -356,12 +350,7 @@ def rgbd_slam(
             or (time_idx + 1) % config["keyframe_every"] == 0
             or time_idx == num_frames - 2
         ) and (np.isfinite(gt_w2c).all()):
-            curr_w2c = np.asarray(
-                pose_to_w2c(
-                    params["cam_unnorm_rots"][0, :, time_idx],
-                    params["cam_trans"][0, :, time_idx],
-                )
-            )
+            curr_w2c = np.asarray(pose_to_w2c(*get_pose(params, time_idx)))
             state.keyframe_list.append(
                 {
                     "id": time_idx,

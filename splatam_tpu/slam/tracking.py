@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from splatam_tpu.core.losses import slam_loss
-from splatam_tpu.core.optim import AdamState, adam_step, init_adam
+from splatam_tpu.core.optim import adam_step, init_adam
 from splatam_tpu.core.transforms import normalize
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.render.camera import Camera
@@ -32,21 +32,35 @@ class TrackResult(NamedTuple):
     overflow: jax.Array  # () bool — any iteration overflowed capacity
 
 
+@partial(jax.jit, static_argnames=("prop",))
+def _init_pose_jit(cam_rots, cam_trans, t, prop):
+    def at(arr, idx):
+        return jax.lax.dynamic_slice_in_dim(arr, idx, 1, axis=2)[0, :, 0]
+
+    if prop:
+        prev_rot1 = normalize(at(cam_rots, t - 1))
+        prev_rot2 = normalize(at(cam_rots, t - 2))
+        new_rot = normalize(prev_rot1 + (prev_rot1 - prev_rot2))
+        prev_t1 = at(cam_trans, t - 1)
+        prev_t2 = at(cam_trans, t - 2)
+        new_tran = prev_t1 + (prev_t1 - prev_t2)
+    else:
+        new_rot = at(cam_rots, t - 1)
+        new_tran = at(cam_trans, t - 1)
+    return new_rot, new_tran
+
+
 def initialize_camera_pose(
     cam_rots: jax.Array, cam_trans: jax.Array, time_idx: int, forward_prop: bool
 ) -> Tuple[jax.Array, jax.Array]:
-    """Constant-velocity initialization (`scripts/splatam.py:429-448`)."""
-    if time_idx > 1 and forward_prop:
-        prev_rot1 = normalize(cam_rots[0, :, time_idx - 1])
-        prev_rot2 = normalize(cam_rots[0, :, time_idx - 2])
-        new_rot = normalize(prev_rot1 + (prev_rot1 - prev_rot2))
-        prev_t1 = cam_trans[0, :, time_idx - 1]
-        prev_t2 = cam_trans[0, :, time_idx - 2]
-        new_tran = prev_t1 + (prev_t1 - prev_t2)
-    else:
-        new_rot = cam_rots[0, :, time_idx - 1]
-        new_tran = cam_trans[0, :, time_idx - 1]
-    return new_rot, new_tran
+    """Constant-velocity initialization (`scripts/splatam.py:429-448`).
+
+    The frame index is traced (see core.params.get_pose) so the program
+    compiles once, not once per frame."""
+    return _init_pose_jit(
+        cam_rots, cam_trans, jnp.asarray(time_idx, jnp.int32),
+        bool(time_idx > 1 and forward_prop),
+    )
 
 
 @partial(

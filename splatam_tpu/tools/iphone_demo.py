@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from splatam_tpu.data.datasets import NeRFCaptureDataset
 from splatam_tpu.realtime import GainConfig, ReplaySource, realtime_slam
 

@@ -18,7 +18,6 @@ from splatam_tpu.core.params import (
     GAUSSIAN_KEYS,
     Params,
     Variables,
-    initialize_params,
     round_capacity,
 )
 

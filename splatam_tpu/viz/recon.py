@@ -12,10 +12,10 @@ import os
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from splatam_tpu.core.losses import render_for_loss
+from splatam_tpu.core.params import get_pose
 from splatam_tpu.core.transforms import pose_to_w2c
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.render.camera import setup_camera
@@ -71,12 +71,11 @@ def render_trajectory(
             p, a, r, t, cam, raster_cfg, gaussians_grad=False, camera_grad=False
         )[0]
     )
+    gauss_only = {k: v for k, v in params.items() if not k.startswith("cam_")}
     num_frames = params["cam_unnorm_rots"].shape[-1]
     for t in range(0, num_frames, every):
-        out = render(
-            params, active,
-            params["cam_unnorm_rots"][0, :, t], params["cam_trans"][0, :, t],
-        )
+        rot_t, tran_t = get_pose(params, t)
+        out = render(gauss_only, active, rot_t, tran_t)
         if render_mode == "depth":
             d = np.asarray(out.color[3])
             img = (np.clip(d / max(d.max(), 1e-6), 0, 1) * 255).astype(np.uint8)
@@ -99,11 +98,7 @@ def plot_trajectory(params: Dict, gt_w2c_all: Optional[np.ndarray], out_path: st
     num_frames = params["cam_unnorm_rots"].shape[-1]
     est = []
     for t in range(num_frames):
-        w2c = np.asarray(
-            pose_to_w2c(
-                params["cam_unnorm_rots"][0, :, t], params["cam_trans"][0, :, t]
-            )
-        )
+        w2c = np.asarray(pose_to_w2c(*get_pose(params, t)))
         est.append(np.linalg.inv(w2c)[:3, 3])
     est = np.stack(est)
     fig, ax = plt.subplots(figsize=(6, 6))

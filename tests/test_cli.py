@@ -133,8 +133,6 @@ def test_slam_cli_end_to_end(replica_scene, tmp_path, monkeypatch):
 
 
 def test_synthetic_slam_cli(monkeypatch):
-    import sys as _sys
-
     from splatam_tpu.run import synthetic_slam
 
     res = synthetic_slam.main(
