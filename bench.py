@@ -57,17 +57,29 @@ def main():
 
     from splatam_tpu.core.losses import slam_loss
     from splatam_tpu.core.params import GAUSSIAN_KEYS
-    from splatam_tpu.render.binning import RasterConfig
+    from splatam_tpu.core.losses import count_instances
+    from splatam_tpu.render.binning import RasterConfig, sized_config
 
     n = 200_000
     w, h = 1200, 680
     params, active, cam = make_scene(n, w, h)
-    cfg = RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128)
+
+    rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
+    tran = jnp.zeros(3, jnp.float32)
+    # pre-size the instance stream to the scene (sized_config docstring);
+    # overflow is asserted below so a snug capacity can't silently truncate
+    total = int(
+        jax.jit(count_instances, static_argnames=())(
+            params, jnp.ones(n, bool), rot, tran, cam
+        )
+    )
+    cfg = sized_config(
+        total,
+        RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128),
+    )
 
     gt_im = jnp.zeros((3, h, w), jnp.float32)
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
-    rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
-    tran = jnp.zeros(3, jnp.float32)
 
     def loss_fn(gauss):
         p = dict(params)
@@ -95,7 +107,16 @@ def main():
         out = jax.lax.fori_loop(0, iters, body, gauss)
         return loss_fn(out)
 
-    # warmup / compile
+    # warmup / compile; also verify the pre-sized capacity didn't overflow
+    out0 = jax.jit(
+        lambda g: slam_loss(
+            dict(params, **g), active, rot, tran, gt_im, gt_depth, cam, cfg,
+            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
+            use_sil_for_loss=False, sil_thres=0.5,
+            ignore_outlier_depth_loss=False,
+        ).overflow
+    )(gauss)
+    assert not bool(out0), "instance capacity overflow — sizing bug"
     loss = run(gauss)
     assert np.isfinite(float(loss))
 

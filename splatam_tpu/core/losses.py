@@ -151,6 +151,35 @@ def render_for_loss(
     return out, aux
 
 
+def count_instances(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    cam_rot: jax.Array,
+    cam_tran: jax.Array,
+    cam: Camera,
+) -> jax.Array:
+    """() int32 — total (gaussian, tile) pairs the render at this pose emits.
+
+    Cheap (projection only, no rasterization); feeds
+    `render.binning.sized_config` so callers can pre-size instance capacity
+    to the scene instead of paying for a worst-case default.
+    """
+    from splatam_tpu.render.geometry import preprocess
+
+    iso = params["log_scales"].shape[1] == 1
+    log_scales = (
+        jnp.tile(params["log_scales"], (1, 3)) if iso else params["log_scales"]
+    )
+    pts, rots, _ = transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], cam_rot, cam_tran,
+        transform_rots=not iso, gaussians_grad=False, camera_grad=False,
+    )
+    proj = preprocess(
+        pts, jnp.exp(log_scales), normalize(rots), cam, active=active
+    )
+    return jnp.sum(proj.tiles_touched)
+
+
 def slam_loss(
     params: Dict[str, jax.Array],
     active: jax.Array,

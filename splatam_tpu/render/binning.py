@@ -76,6 +76,24 @@ class BinnedCSR(NamedTuple):
     overflow: jax.Array  # () bool: instance buffer overflowed
 
 
+def sized_config(
+    num_instances: int,
+    base: RasterConfig = RasterConfig(),
+    margin: float = 1.1,
+) -> RasterConfig:
+    """Pre-size ``max_instances`` from a measured (gaussian, tile) pair count.
+
+    Sort, gather, and kernel-grid costs all scale with the instance-stream
+    capacity, so snug buffers directly buy throughput (~15% at SLAM scale vs
+    a 2^20 default at 780k instances). Like the SLAM driver's ``map_capacity``
+    pre-sizing knob, this is an optimization only — the overflow flag still
+    triggers a bigger re-run if the scene outgrows the estimate.
+    """
+    k = int(num_instances * margin) + base.chunk
+    k = ((k + base.chunk - 1) // base.chunk) * base.chunk
+    return dataclasses.replace(base, max_instances=k)
+
+
 def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
     """Instance expansion + (tile, depth) sort shared by both layouts.
 

@@ -173,3 +173,37 @@ def test_eval_nvs_hole_masking(tmp_path):
     assert np.isfinite(res["psnr"]) and res["psnr"] > 10
     assert 0.0 <= res["valid_frac"] <= 1.0
     assert os.path.exists(tmp_path / "nvs" / "nvs_psnr.txt")
+
+
+def test_sized_config_counts_instances():
+    """count_instances matches the binner's emitted total; sized_config fits."""
+    import jax
+
+    from splatam_tpu.core.losses import count_instances, render_for_loss
+    from splatam_tpu.core.params import initialize_params
+    from splatam_tpu.data.synthetic import SyntheticDataset
+    from splatam_tpu.render.binning import RasterConfig, sized_config
+    from splatam_tpu.render.camera import setup_camera
+
+    ds = SyntheticDataset(num_frames=1, width=64, height=48, seed=3)
+    color, depth, intr, pose = ds[0]
+    cam = setup_camera(64, 48, np.asarray(intr), np.linalg.inv(np.asarray(pose)))
+    pt_cld = np.concatenate([ds.means, ds.colors], axis=-1).astype(np.float32)
+    params, variables = initialize_params(
+        pt_cld, 1, np.full(len(ds.means), 1e-4, np.float32), capacity=4096
+    )
+    rot = jnp.asarray([1.0, 0, 0, 0])
+    tran = jnp.zeros(3)
+    total = int(
+        count_instances(params, variables["active"], rot, tran, cam)
+    )
+    assert total > 0
+    cfg = sized_config(total, RasterConfig(chunk=32, backend="jnp"))
+    assert cfg.max_instances % cfg.chunk == 0
+    assert cfg.max_instances >= total
+    out, aux = render_for_loss(
+        params, variables["active"], rot, tran, cam, cfg,
+        gaussians_grad=False, camera_grad=False,
+    )
+    assert not bool(aux.overflow)
+    assert int(aux.num_instances) == total
