@@ -114,11 +114,13 @@ def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
     starts = offsets - tiles_touched
 
     slot = jnp.arange(k, dtype=jnp.int32)
-    gid = jnp.repeat(
-        jnp.arange(n, dtype=jnp.int32), tiles_touched, total_repeat_length=k
-    )
+    # gid = repeat(arange(n), tiles_touched) via scatter + cumsum: empty
+    # groups collide on the same start slot, so the cumsum skips them.
+    # jnp.repeat lowers to an extra 1-D int gather (~6 ms at this size on
+    # TPU — 1-D int gathers hit a scalar path); this form is cumsum-bound.
+    ind = jnp.zeros(k, jnp.int32).at[starts].add(1, mode="drop")
     in_use = slot < total
-    gid_safe = jnp.clip(gid, 0, n - 1)
+    gid_safe = jnp.clip(jnp.cumsum(ind) - 1, 0, n - 1)
 
     # One ROW gather instead of six column gathers: TPU gathers whole rows
     # ~30x faster than repeated single-column gathers at this size. Depth
@@ -191,21 +193,21 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     # nvalid needs 9 bits (chunk <= 512 supported); tile gets the rest
     chunk_meta = (chunk_tile << 10) | (nvalid.astype(jnp.int32) << 1) | first
 
-    # padded stream -> source instance position. All per-tile lookups happen
-    # at CHUNK granularity (NC ~ M_pad/128 rows) and broadcast to the stream;
-    # the only full-length gather is sorted_gid[src].
-    ctable = jnp.stack(
-        [tile_start[:-1][chunk_tile], padded_start[chunk_tile], counts[chunk_tile]],
-        axis=-1,
-    )  # (NC, 3) int32
-    crows = jnp.broadcast_to(ctable[:, None, :], (nc, chunk, 3)).reshape(m_pad, 3)
-    p = jnp.arange(m_pad, dtype=jnp.int32)
-    rel = p - crows[:, 1]
-    src = crows[:, 0] + rel
-    row_valid = rel < crows[:, 2]
-    padded_gid = jnp.where(
-        row_valid, sorted_gid[jnp.clip(src, 0, k - 1)], 0
-    )
+    # padded stream <- sorted stream. Each chunk's sources are CONTIGUOUS
+    # (chunk c of tile t reads sorted positions tile_start[t]+local*chunk
+    # onward), so the expansion is NC windowed dynamic-slices — a gather of
+    # 128-contiguous runs, ~15x faster than the equivalent 1-D random gather
+    # sorted_gid[src] (1-D int gathers hit a scalar path on TPU).
+    chunk_src = tile_start[:-1][chunk_tile] + local_chunk * chunk  # (NC,)
+    gid_padded_tbl = jnp.concatenate(
+        [sorted_gid, jnp.zeros(chunk, jnp.int32)]
+    )  # windows never clamp: chunk_src <= total <= k
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(gid_padded_tbl, s, chunk)
+    )(jnp.clip(chunk_src, 0, k))
+    rel = local_chunk[:, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    row_valid = (rel < counts[chunk_tile][:, None]).reshape(m_pad)
+    padded_gid = jnp.where(row_valid, windows.reshape(m_pad), 0)
     gid_hist = proj.tiles_touched.astype(jnp.int32).at[0].add(m_pad - total)
 
     return BinnedCSR(
