@@ -202,9 +202,19 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     gid_padded_tbl = jnp.concatenate(
         [sorted_gid, jnp.zeros(chunk, jnp.int32)]
     )  # windows never clamp: chunk_src <= total <= k
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice_in_dim(gid_padded_tbl, s, chunk)
-    )(jnp.clip(chunk_src, 0, k))
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    windows = jax.lax.gather(
+        gid_padded_tbl, jnp.clip(chunk_src, 0, k)[:, None], dn,
+        slice_sizes=(chunk,), mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    # barrier keeps the validity mask out of the gather fusion (which lands
+    # in scalar space). Measured equal to the vmap(dynamic_slice) form —
+    # which serializes into an 8.8k-iteration while loop — but compiles to
+    # one batched gather; the in-context ~7 ms (vs 1.9 ms isolated) for
+    # this stream expansion remains a round-2 target.
+    windows = jax.lax.optimization_barrier(windows)
     rel = local_chunk[:, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
     row_valid = (rel < counts[chunk_tile][:, None]).reshape(m_pad)
     padded_gid = jnp.where(row_valid, windows.reshape(m_pad), 0)
