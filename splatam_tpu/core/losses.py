@@ -59,6 +59,9 @@ def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Ar
     kw = jnp.tile(g[None, None, None, :], (c, 1, 1, 1))  # (C, 1, 1, 11)
     pad = window_size // 2
 
+    # NOTE: batching the 5 filtered quantities into one 15-channel conv was
+    # tried and reverted — the (15, H, W) concat/split materializations cost
+    # more (~5 ms) than the per-call conv overhead they saved.
     def conv(x):
         y = jax.lax.conv_general_dilated(
             x[None], kh, (1, 1), [(pad, pad), (0, 0)],

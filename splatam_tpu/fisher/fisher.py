@@ -126,7 +126,7 @@ def render_fisher(
     seed = jnp.zeros(NFEAT_PAD, jnp.float32).at[:3].set(seed_value)
     mom = fisher_moments(
         attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, seed
-    )  # (16, N)
+    )  # (N, 16)
 
     # close the chain to 3D means: F_d = (J^T M J)_dd per gaussian
     cov3d = compute_cov3d(scales, rots)
@@ -136,14 +136,14 @@ def render_fisher(
 
     M = jnp.zeros((pts.shape[0], 5, 5), jnp.float32)
     for row, (a, b) in enumerate(_TRI_PAIRS):
-        M = M.at[:, a, b].set(mom[row])
+        M = M.at[:, a, b].set(mom[:, row])
         if a != b:
-            M = M.at[:, b, a].set(mom[row])
+            M = M.at[:, b, a].set(mom[:, row])
     f_mean = jnp.einsum(
         "nad,nab,nbe->nde", jac, M, jac, precision=jax.lax.Precision.HIGHEST
     )
     f_mean = jnp.diagonal(f_mean, axis1=1, axis2=2)  # (N, 3)
-    f_op = mom[15][:, None]  # (N, 1)
+    f_op = mom[:, 15:16]  # (N, 1)
     h = jnp.concatenate([f_mean, f_op], axis=-1)
     return jnp.where(active[:, None], h, 0.0)
 

@@ -31,9 +31,9 @@ class RasterConfig:
     max_per_tile: int = 1024  # cap on instances per tile
     chunk: int = 128  # instances blended per scan step
     backend: str = "auto"  # 'jnp' | 'pallas' | 'auto'
-    # Fraction of tiles assumed to need chunk-alignment padding. Worst case
-    # is 1.0 (every tile wastes up to chunk-1 slots); the expectation is 0.5.
-    # Exceeding the budget sets the overflow flag (caller re-runs bigger).
+    # Unused since the aligned-window layout (chunk capacity is now exactly
+    # max_instances/chunk + num_tiles and cannot overflow); kept so configs
+    # that set it keep loading.
     pad_slack: float = 0.65
     # Mesh axis name to shard image tiles over (the DP analog for this
     # workload, SURVEY.md §2.3). None = single device. Requires an ambient
@@ -56,23 +56,32 @@ class Binned(NamedTuple):
 
 
 class BinnedCSR(NamedTuple):
-    """Depth-sorted instance stream in chunk-aligned CSR layout.
+    """Depth-sorted instance stream with chunk-ALIGNED window descriptors.
 
-    Feeds the flat-chunk-grid Pallas kernels (pallas_raster.py): each tile's
-    instance segment starts at a multiple of ``chunk`` in the padded stream,
-    so one Pallas grid step processes exactly one (tile, chunk) pair with no
-    per-tile capacity padding and no bucket scatter (row scatters cost
-    ~200ms at SLAM scale on TPU; this layout needs only gathers).
+    Feeds the flat-chunk-grid Pallas kernels (pallas_raster.py): one Pallas
+    grid step processes one (tile, chunk) pair. A tile's windows start at
+    its segment start rounded DOWN to a chunk boundary, so every window is
+    an aligned block of the SORTED stream and the kernels read it through a
+    plain scalar-prefetched BlockSpec index map (``chunk_blk``) — no padded
+    stream is ever materialized (its element gather costs ~6.5 ms at 1M
+    instances on TPU: gathers are per-index bound). The up-to-chunk-1
+    foreign rows at the head of a tile's first window (they belong to the
+    previous tile) are masked by the per-chunk ``skip``; this wastes the
+    same average chunk/2 slots per tile the old chunk-padding did, but as
+    masked compute instead of gathered memory traffic.
     """
 
-    padded_gid: jax.Array  # (M_pad,) int32 gaussian id per padded stream slot
-    chunk_meta: jax.Array  # (NC,) int32 packed: tile<<10 | nvalid<<1 | first
+    sorted_gid: jax.Array  # (K,) int32 gaussian id per depth-sorted instance
+    chunk_blk: jax.Array  # (NC,) int32 aligned block index of each chunk
+    chunk_meta: jax.Array  # (NC,) int32 packed: tile << 1 | first
+    chunk_lim: jax.Array  # (NC,) int32 packed: skip << 16 | lim; valid rows
+    # of the window are [skip, lim)
     counts: jax.Array  # (T,) int32 instances per tile
-    gid_hist: jax.Array  # (N,) int32 instances per gaussian in the padded
-    # stream (tiles_touched + pad rows on gaussian 0) — known analytically,
-    # so the gradient segment-sum never needs a scatter-add histogram
+    gid_hist: jax.Array  # (N,) int32 = tiles_touched: exact per-gaussian
+    # valid-instance count, giving the gradient reduction its segment
+    # boundaries analytically (no scatter-add histogram)
     num_instances: jax.Array  # () int32 total instances emitted
-    padded_total: jax.Array  # () int32 stream length incl. per-tile padding
+    padded_total: jax.Array  # () int32 windowed stream length (used chunks)
     overflow: jax.Array  # () bool: instance buffer overflowed
 
 
@@ -158,14 +167,15 @@ def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
 
 
 def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> BinnedCSR:
-    """Chunk-aligned CSR binning for the Pallas flat-chunk-grid kernels."""
+    """Chunk-aligned-window binning for the Pallas flat-chunk-grid kernels."""
     chunk = cfg.chunk
     sorted_tile, sorted_gid, tile_id, total, num_tiles = _expand_instances(
         proj, cam, cfg
     )
     k = cfg.max_instances
-    nc = (k + chunk - 1) // chunk + int(cfg.pad_slack * num_tiles) + 1
-    m_pad = nc * chunk
+    # every non-empty tile adds at most one partially-foreign leading chunk,
+    # so this static capacity can never overflow
+    nc = k // chunk + num_tiles + 1
 
     # Per-tile ranges from the SORTED keys: a 3k-query searchsorted over the
     # sorted 1M array is cheap (binary-search scan on few queries), unlike a
@@ -173,61 +183,46 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     tq = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tq, side="left").astype(jnp.int32)
     counts = tile_start[1:] - tile_start[:-1]
-    nchunks = (counts + chunk - 1) // chunk
+    starts = tile_start[:-1]
+    # window base = segment start rounded DOWN to a chunk boundary; the
+    # first skip0 rows of the first window belong to the previous tile
+    skip0 = starts % chunk
+    aligned_blk = starts // chunk
+    nchunks = jnp.where(counts > 0, (counts + skip0 + chunk - 1) // chunk, 0)
     chunk_off = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)])
-    padded_start = chunk_off * chunk
-    padded_total = padded_start[-1]
+    used = chunk_off[-1]
+    padded_total = used * chunk
 
-    # per-chunk metadata: owning tile, first-chunk flag, valid rows in chunk
     c_idx = jnp.arange(nc, dtype=jnp.int32)
     chunk_tile = jnp.repeat(
         jnp.arange(num_tiles, dtype=jnp.int32), nchunks, total_repeat_length=nc
     )
-    # tail chunks (>= total used chunks) repeat the last tile id; nvalid = 0
-    # there, so the kernel skips them.
+    # tail chunks (>= used) repeat the last tile id; lim = 0 there, so the
+    # kernel skips them.
+    in_use = c_idx < used
     local_chunk = c_idx - chunk_off[chunk_tile]
-    nvalid = jnp.clip(counts[chunk_tile] - local_chunk * chunk, 0, chunk)
-    nvalid = jnp.where(c_idx < chunk_off[-1], nvalid, 0)
+    blk = jnp.clip(aligned_blk[chunk_tile] + local_chunk, 0, k // chunk)
+    skip = jnp.where(in_use & (local_chunk == 0), skip0[chunk_tile], 0)
+    lim = jnp.clip(
+        counts[chunk_tile] + skip0[chunk_tile] - local_chunk * chunk, 0, chunk
+    )
+    lim = jnp.where(in_use, lim, 0)
     prev_tile = jnp.concatenate([jnp.full(1, -1, jnp.int32), chunk_tile[:-1]])
-    first = (chunk_tile != prev_tile).astype(jnp.int32)
-    # nvalid needs 9 bits (chunk <= 512 supported); tile gets the rest
-    chunk_meta = (chunk_tile << 10) | (nvalid.astype(jnp.int32) << 1) | first
-
-    # padded stream <- sorted stream. Each chunk's sources are CONTIGUOUS
-    # (chunk c of tile t reads sorted positions tile_start[t]+local*chunk
-    # onward), so the expansion is NC windowed dynamic-slices — a gather of
-    # 128-contiguous runs, ~15x faster than the equivalent 1-D random gather
-    # sorted_gid[src] (1-D int gathers hit a scalar path on TPU).
-    chunk_src = tile_start[:-1][chunk_tile] + local_chunk * chunk  # (NC,)
-    gid_padded_tbl = jnp.concatenate(
-        [sorted_gid, jnp.zeros(chunk, jnp.int32)]
-    )  # windows never clamp: chunk_src <= total <= k
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-    windows = jax.lax.gather(
-        gid_padded_tbl, jnp.clip(chunk_src, 0, k)[:, None], dn,
-        slice_sizes=(chunk,), mode=jax.lax.GatherScatterMode.CLIP,
-    )
-    # barrier keeps the validity mask out of the gather fusion (which lands
-    # in scalar space). Measured equal to the vmap(dynamic_slice) form —
-    # which serializes into an 8.8k-iteration while loop — but compiles to
-    # one batched gather; the in-context ~7 ms (vs 1.9 ms isolated) for
-    # this stream expansion remains a round-2 target.
-    windows = jax.lax.optimization_barrier(windows)
-    rel = local_chunk[:, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
-    row_valid = (rel < counts[chunk_tile][:, None]).reshape(m_pad)
-    padded_gid = jnp.where(row_valid, windows.reshape(m_pad), 0)
-    gid_hist = proj.tiles_touched.astype(jnp.int32).at[0].add(m_pad - total)
+    first = ((chunk_tile != prev_tile) & in_use).astype(jnp.int32)
+    chunk_meta = (chunk_tile << 1) | first
+    chunk_lim = (skip.astype(jnp.int32) << 16) | lim.astype(jnp.int32)
+    gid_hist = proj.tiles_touched.astype(jnp.int32)
 
     return BinnedCSR(
-        padded_gid=padded_gid,
+        sorted_gid=sorted_gid,
+        chunk_blk=blk,
         chunk_meta=chunk_meta,
+        chunk_lim=chunk_lim,
         counts=counts,
         gid_hist=gid_hist,
         num_instances=total,
         padded_total=padded_total,
-        overflow=(total > k) | (padded_total > m_pad),
+        overflow=total > k,
     )
 
 

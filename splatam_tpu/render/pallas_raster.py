@@ -6,24 +6,29 @@ TPU-native re-expression of the reference CUDA render kernels
 block per tile, shared-memory staging, per-pixel sequential front-to-back
 blending, atomicAdd gradient scatter — maps to TPU as:
 
-  * work list   = the depth-sorted instance stream in chunk-aligned CSR
-                  layout (binning.bin_gaussians_csr): each tile's segment is
-                  padded to a multiple of ``chunk``, so ONE Pallas grid step
-                  = one (tile, chunk) pair. Empty tiles consume zero steps
-                  and there is no per-tile capacity padding.
-  * staging     = instance attributes are row-gathered into a dense
-                  (16, M_pad) stream by XLA (row gathers are ~30x faster
-                  than column gathers on TPU) and streamed through VMEM by
-                  the Pallas pipeline — the `__shared__` analog, pipelined.
+  * work list   = the depth-sorted instance stream (binning.bin_gaussians_csr
+                  sorts (tile, depth, gid) once); each tile's segment is
+                  covered by chunk-ALIGNED windows of the stream, so ONE
+                  Pallas grid step = one (tile, window) pair.
+  * staging     = each grid step's window is a plain aligned block of the
+                  sorted stream, delivered by the Pallas pipeline through a
+                  scalar-prefetched BlockSpec index map (``chunk_blk``) with
+                  automatic double buffering — the `__shared__` analog.
+                  This replaces a padded-stream materialization whose
+                  element gather cost ~6.5 ms at 1M instances (TPU gathers
+                  are per-index bound); the up-to-chunk-1 foreign rows at a
+                  tile's first window are masked via the per-chunk ``skip``.
   * blending    = the order-dependent transmittance recursion is evaluated
                   in closed form per chunk on the MXU: a triangular matmul
                   computes the cumulative sum of log(1 - alpha) along the
                   gaussian axis; per-tile running state (T, dead mask, color
                   accumulator) lives in VMEM scratch across grid steps.
-  * scatter     = per-instance gradients are written densely to the stream
-                  (one block per grid step — no write conflicts, no
-                  atomics); the instance->gaussian segment reduction happens
-                  in XLA as sort-by-gaussian + cumsum-difference, the
+  * scatter     = the backward kernel writes per-instance gradients densely
+                  to a per-chunk output block (no write conflicts, no
+                  atomics) WITH the owning gaussian id as a key row; the
+                  instance->gaussian reduction is then one value-carrying
+                  `lax.sort` by that key + cumsum-difference (sort cost is
+                  ~flat in operand count on TPU, ~2.3 ms at 1M) — the
                   TPU-native replacement for CUDA's atomicAdd scatter
                   (SURVEY.md §7 hard-part #2).
 
@@ -33,7 +38,9 @@ from the forward's saved color accumulator as total minus a running prefix,
 which the same triangular matmul produces per chunk.
 
 Numerical semantics (alpha cap/floor, T stop, median-depth crossing) match
-`render_tiled.py`, the jnp oracle path; tests assert fwd and grad agreement.
+`render_tiled.py`, the jnp oracle path; tests assert fwd and grad agreement,
+and tools/tpu_parity_check.py asserts the same for the Mosaic-compiled
+kernels on the real chip.
 """
 from __future__ import annotations
 
@@ -53,12 +60,19 @@ from splatam_tpu.render.geometry import (
 )
 
 # instance-stream row layout (attribute-major: chunk slices are lane-contiguous)
-ROW_X, ROW_Y, ROW_CA, ROW_CB, ROW_CC, ROW_OP, ROW_DEPTH, ROW_VALID = range(8)
+ROW_X, ROW_Y, ROW_CA, ROW_CB, ROW_CC, ROW_OP, ROW_DEPTH, ROW_GID = range(8)
 ROW_FEAT0 = 8
 NFEAT_PAD = 8  # feature rows padded to 8 (RGB=3 or RGB+depth/sil/z2=6)
 ROWS = ROW_FEAT0 + NFEAT_PAD  # 16
 
 NPIX = TILE * TILE  # 256 pixels per tile
+
+# key value marking invalid (masked) rows in the gradient key row; must
+# exceed any gaussian id (ids are exact in f32 up to 2^24)
+BIG_KEY = 1e9
+# fisher kernel output: 16 moment rows + key row + pad to a sublane multiple
+FKEY_ROW = 16
+FROWS = 24
 
 
 def _triangular(chunk: int) -> jax.Array:
@@ -88,8 +102,12 @@ def _pixel_coords(t, grid_x: int):
     return px, py
 
 
-def _chunk_alpha(blk, px, py, nvalid, chunk):
-    """Per-(pixel, gaussian) alpha for one (16, chunk) instance block."""
+def _chunk_alpha(blk, px, py, skip, lim, chunk):
+    """Per-(pixel, gaussian) alpha for one (16, chunk) instance window.
+
+    Valid rows are [skip, lim); rows outside belong to a neighboring tile's
+    segment (window alignment) and are masked out.
+    """
     x = blk[ROW_X : ROW_X + 1, :]
     y = blk[ROW_Y : ROW_Y + 1, :]
     ca = blk[ROW_CA : ROW_CA + 1, :]
@@ -101,21 +119,36 @@ def _chunk_alpha(blk, px, py, nvalid, chunk):
     dx = x - px  # (NPIX, C)
     dy = y - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    raw = op * jnp.exp(power)
+    epow = jnp.exp(power)
+    raw = op * epow
     alpha = jnp.minimum(ALPHA_CAP, raw)
-    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (row < nvalid)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (row >= skip) & (row < lim)
     alpha = jnp.where(keep, alpha, 0.0)
-    return alpha, raw, power, dx, dy, keep
+    return alpha, raw, epow, dx, dy, keep
 
 
-def _meta(meta_ref, c):
+def _meta(meta_ref, lim_ref, c):
     m = meta_ref[c]
-    return m >> 10, (m >> 1) & 0x1FF, m & 1  # tile, nvalid, first
+    sl = lim_ref[c]
+    return m >> 1, m & 1, sl >> 16, sl & 0xFFFF  # tile, first, skip, lim
+
+
+def _row_key(blk, skip, lim, run, chunk):
+    """Reduction key per window row: the gaussian id for valid rows, BIG_KEY
+    for masked/foreign rows (they then sort past every real gaussian)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    return jnp.where(
+        (row >= skip) & (row < lim) & run,
+        blk[ROW_GID : ROW_GID + 1, :],
+        BIG_KEY,
+    )
 
 
 def _fwd_kernel(
-    meta_ref,  # scalar-prefetch (NC,) int32 packed tile<<9|nvalid<<1|first
-    inst_ref,  # (ROWS, chunk) VMEM block
+    meta_ref,  # scalar-prefetch (NC,) int32 packed tile<<1|first
+    lim_ref,  # scalar-prefetch (NC,) int32 packed skip<<16|lim
+    blk_ref,  # scalar-prefetch (NC,) int32 stream block index per chunk
+    inst_ref,  # (ROWS, chunk) VMEM window of the sorted stream
     color_ref,  # (1, NPIX, NFEAT_PAD) block of the owning tile
     aux_ref,  # (1, NPIX, 8): 0=median depth, 1=final T
     t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance
@@ -127,7 +160,7 @@ def _fwd_kernel(
     chunk: int,
 ):
     c = pl.program_id(0)
-    t, nvalid, first = _meta(meta_ref, c)
+    t, first, skip, lim = _meta(meta_ref, lim_ref, c)
 
     @pl.when(first == 1)
     def _():
@@ -139,18 +172,20 @@ def _fwd_kernel(
 
     # early exit once the whole tile is saturated — the CUDA kernel's
     # per-block __syncthreads_count done-ballot (`forward.cu:314-328`)
-    @pl.when((nvalid > 0) & (alive_sc[0] == 1))
+    @pl.when((lim > skip) & (alive_sc[0] == 1))
     def _():
         px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
-        alpha, _, _, _, _, _ = _chunk_alpha(blk, px, py, nvalid, chunk)
+        alpha, _, _, _, _, _ = _chunk_alpha(blk, px, py, skip, lim, chunk)
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
         log1m = jnp.log1p(-alpha)
         incl = _cumsum_mxu(log1m, _triangular(chunk))
         t_cum = t_run * jnp.exp(incl)  # T after each gaussian
-        t_before = t_run * jnp.exp(incl - log1m)
+        # T before = T after / (1 - alpha); alpha <= 0.99 keeps it stable
+        # and a divide is far cheaper than a second (NPIX, chunk) exp
+        t_before = t_cum / (1.0 - alpha)
         live = (t_cum >= T_STOP) & (dead == 0.0)
 
         w = jnp.where(live, alpha * t_before, 0.0)
@@ -176,23 +211,25 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    meta_ref,  # scalar-prefetch (NC,) int32
+    meta_ref,
+    lim_ref,
+    blk_ref,
     inst_ref,  # (ROWS, chunk)
     gcolor_ref,  # (1, NPIX, NFEAT_PAD) upstream dL/d color accumulator
     gaux_ref,  # (1, NPIX, 8): 0=dL/d median depth, 1=dL/d final T
     rescolor_ref,  # (1, NPIX, NFEAT_PAD) forward color accumulator
     resaux_ref,  # (1, NPIX, 8) forward aux (final T at channel 1)
-    ginst_ref,  # (ROWS, chunk) output: grads w.r.t. this instance chunk
-    t_run_sc,  # (NPIX, 1) scratch
-    dead_sc,  # (NPIX, 1) scratch
+    ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
+    t_run_sc,
+    dead_sc,
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
-    alive_sc,  # (1,) SMEM
+    alive_sc,
     *,
     grid_x: int,
     chunk: int,
 ):
     c = pl.program_id(0)
-    t, nvalid, first = _meta(meta_ref, c)
+    t, first, skip, lim = _meta(meta_ref, lim_ref, c)
 
     @pl.when(first == 1)
     def _():
@@ -201,17 +238,20 @@ def _bwd_kernel(
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
 
-    run = (nvalid > 0) & (alive_sc[0] == 1)
+    run = (lim > skip) & (alive_sc[0] == 1)
 
     @pl.when(jnp.logical_not(run))
     def _():
         ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
+        ginst_ref[ROW_GID : ROW_GID + 1, :] = jnp.full(
+            (1, chunk), BIG_KEY, jnp.float32
+        )
 
     @pl.when(run)
     def _():
         px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
-        alpha, raw, power, dx, dy, keep = _chunk_alpha(blk, px, py, nvalid, chunk)
+        alpha, raw, epow, dx, dy, keep = _chunk_alpha(blk, px, py, skip, lim, chunk)
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
@@ -225,7 +265,7 @@ def _bwd_kernel(
         log1m = jnp.log1p(-alpha)
         incl = _cumsum_mxu(log1m, tri)
         t_cum = t_run * jnp.exp(incl)
-        t_before = t_run * jnp.exp(incl - log1m)
+        t_before = t_cum / (1.0 - alpha)
         live = (t_cum >= T_STOP) & (dead == 0.0)
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -250,7 +290,7 @@ def _bwd_kernel(
         # clamp gates: d alpha/d raw = 1 only below the 0.99 cap; `keep`
         # excludes masked contributors entirely
         unclamped = keep & (raw < ALPHA_CAP)
-        dop_da = jnp.where(unclamped, jnp.exp(power), 0.0)
+        dop_da = jnp.where(unclamped, epow, 0.0)
         dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
 
         ca = blk[ROW_CA : ROW_CA + 1, :]
@@ -263,7 +303,7 @@ def _bwd_kernel(
         def rsum(v):  # reduce over pixels -> (1, C)
             return jnp.sum(v, axis=0, keepdims=True)
 
-        # rows in instance-stream order: X, Y, CA, CB, CC, OP, DEPTH, VALID
+        # rows in instance-stream order: X, Y, CA, CB, CC, OP, DEPTH, KEY
         grows = jnp.concatenate(
             [
                 rsum(ddx),
@@ -273,7 +313,7 @@ def _bwd_kernel(
                 rsum(dpower * (-0.5 * dy * dy)),
                 rsum(dalpha * dop_da),
                 rsum(jnp.where(crossing, g_depth, 0.0)),
-                jnp.zeros((1, chunk), jnp.float32),
+                _row_key(blk, skip, lim, run, chunk),
             ],
             axis=0,
         )
@@ -295,16 +335,18 @@ def _bwd_kernel(
 
 
 def _fisher_kernel(
-    meta_ref,  # scalar-prefetch (NC,) int32
+    meta_ref,
+    lim_ref,
+    blk_ref,
     inst_ref,  # (ROWS, chunk)
     gcolor_ref,  # (1, NPIX, NFEAT_PAD) seed dL/d color (e.g. 1e-3 on RGB)
     rescolor_ref,  # (1, NPIX, NFEAT_PAD) forward color accumulator
     resaux_ref,  # (1, NPIX, 8) forward aux
-    fish_ref,  # (ROWS, chunk) out: 15 second moments of v + sum dop^2
+    fish_ref,  # (FROWS, chunk) out: 15 moments + sum dop^2 + key row
     t_run_sc,
     dead_sc,
     accwgc_sc,
-    alive_sc,  # (1,) SMEM
+    alive_sc,
     *,
     grid_x: int,
     chunk: int,
@@ -323,7 +365,7 @@ def _fisher_kernel(
     per-gaussian, not per-pixel.
     """
     c = pl.program_id(0)
-    t, nvalid, first = _meta(meta_ref, c)
+    t, first, skip, lim = _meta(meta_ref, lim_ref, c)
 
     @pl.when(first == 1)
     def _():
@@ -332,17 +374,20 @@ def _fisher_kernel(
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
 
-    run = (nvalid > 0) & (alive_sc[0] == 1)
+    run = (lim > skip) & (alive_sc[0] == 1)
 
     @pl.when(jnp.logical_not(run))
     def _():
-        fish_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
+        fish_ref[:] = jnp.zeros((FROWS, chunk), jnp.float32)
+        fish_ref[FKEY_ROW : FKEY_ROW + 1, :] = jnp.full(
+            (1, chunk), BIG_KEY, jnp.float32
+        )
 
     @pl.when(run)
     def _():
         px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
-        alpha, raw, power, dx, dy, keep = _chunk_alpha(blk, px, py, nvalid, chunk)
+        alpha, raw, epow, dx, dy, keep = _chunk_alpha(blk, px, py, skip, lim, chunk)
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
@@ -353,7 +398,7 @@ def _fisher_kernel(
         log1m = jnp.log1p(-alpha)
         incl = _cumsum_mxu(log1m, tri)
         t_cum = t_run * jnp.exp(incl)
-        t_before = t_run * jnp.exp(incl - log1m)
+        t_before = t_cum / (1.0 - alpha)
         live = (t_cum >= T_STOP) & (dead == 0.0)
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -370,7 +415,7 @@ def _fisher_kernel(
         one_minus = jnp.maximum(1.0 - alpha, 1e-12)
         dalpha = jnp.where(live, t_before * gc - suffix / one_minus, 0.0)
         unclamped = keep & (raw < ALPHA_CAP)
-        dop = jnp.where(unclamped, dalpha * jnp.exp(power), 0.0)
+        dop = jnp.where(unclamped, dalpha * epow, 0.0)
         dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
 
         ca = blk[ROW_CA : ROW_CA + 1, :]
@@ -389,7 +434,13 @@ def _fisher_kernel(
 
         moments = [rsum(v[a] * v[b]) for a in range(5) for b in range(a, 5)]
         fish_ref[:] = jnp.concatenate(
-            moments + [rsum(dop * dop)], axis=0
+            moments
+            + [
+                rsum(dop * dop),
+                _row_key(blk, skip, lim, run, chunk),
+                jnp.zeros((FROWS - 17, chunk), jnp.float32),
+            ],
+            axis=0,
         )
 
         t_run_sc[:] = t_run * jnp.exp(
@@ -401,68 +452,40 @@ def _fisher_kernel(
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
 
 
-@functools.lru_cache(maxsize=32)
-def _make_fisher_op(
-    nc: int, num_tiles: int, grid_x: int, chunk: int, interpret: bool
-):
-    def tile_of(c, meta):
-        return (meta[c] >> 10, 0, 0)
+def _common_scratch():
+    return [
+        pltpu.VMEM((NPIX, 1), jnp.float32),
+        pltpu.VMEM((NPIX, 1), jnp.float32),
+        pltpu.VMEM((NPIX, 1), jnp.float32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
 
+
+def _tile_of(c, meta, lim, blk):
+    return (meta[c] >> 1, 0, 0)
+
+
+def _stream_spec(chunk):
+    return pl.BlockSpec((ROWS, chunk), lambda c, meta, lim, blk: (0, blk[c]))
+
+
+def _out_chunk_spec(rows, chunk):
+    return pl.BlockSpec((rows, chunk), lambda c, meta, lim, blk: (0, c))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret):
     return pl.pallas_call(
-        functools.partial(_fisher_kernel, grid_x=grid_x, chunk=chunk),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nc,),
-            in_specs=[
-                pl.BlockSpec((ROWS, chunk), lambda c, meta: (0, c)),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), tile_of),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), tile_of),
-                pl.BlockSpec((1, NPIX, 8), tile_of),
-            ],
-            out_specs=[
-                pl.BlockSpec((ROWS, chunk), lambda c, meta: (0, c)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32),
-        ],
-        interpret=interpret,
-    )
-
-
-@functools.lru_cache(maxsize=32)
-def _make_raster_op(
-    nc: int, num_tiles: int, grid_x: int, chunk: int, interpret: bool
-):
-    """Build the custom-vjp'd pallas op for one static configuration."""
-
-    def tile_of(c, meta):
-        return (meta[c] >> 10, 0, 0)
-
-    fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=(nc,),
-            in_specs=[
-                pl.BlockSpec((ROWS, chunk), lambda c, meta: (0, c)),
-            ],
+            in_specs=[_stream_spec(chunk)],
             out_specs=[
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), tile_of),
-                pl.BlockSpec((1, NPIX, 8), tile_of),
+                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
+                pl.BlockSpec((1, NPIX, 8), _tile_of),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
+            scratch_shapes=_common_scratch(),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, NPIX, NFEAT_PAD), jnp.float32),
@@ -471,106 +494,131 @@ def _make_raster_op(
         interpret=interpret,
     )
 
-    bwd_call = pl.pallas_call(
+
+@functools.lru_cache(maxsize=32)
+def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret):
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=(nc,),
             in_specs=[
-                pl.BlockSpec((ROWS, chunk), lambda c, meta: (0, c)),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), tile_of),
-                pl.BlockSpec((1, NPIX, 8), tile_of),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), tile_of),
-                pl.BlockSpec((1, NPIX, 8), tile_of),
+                _stream_spec(chunk),
+                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
+                pl.BlockSpec((1, NPIX, 8), _tile_of),
+                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
+                pl.BlockSpec((1, NPIX, 8), _tile_of),
             ],
-            out_specs=[
-                pl.BlockSpec((ROWS, chunk), lambda c, meta: (0, c)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.VMEM((NPIX, 1), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
+            out_specs=[_out_chunk_spec(ROWS, chunk)],
+            scratch_shapes=_common_scratch(),
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
         interpret=interpret,
     )
 
-    @jax.custom_vjp
-    def raster(inst, meta):
-        color, aux = fwd_call(meta, inst)
-        return color, aux
 
-    def raster_fwd(inst, meta):
-        color, aux = fwd_call(meta, inst)
-        return (color, aux), (inst, meta, color, aux)
+@functools.lru_cache(maxsize=32)
+def _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret):
+    return pl.pallas_call(
+        functools.partial(_fisher_kernel, grid_x=grid_x, chunk=chunk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nc,),
+            in_specs=[
+                _stream_spec(chunk),
+                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
+                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
+                pl.BlockSpec((1, NPIX, 8), _tile_of),
+            ],
+            out_specs=[_out_chunk_spec(FROWS, chunk)],
+            scratch_shapes=_common_scratch(),
+        ),
+        out_shape=[jax.ShapeDtypeStruct((FROWS, nc * chunk), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def _build_stream(attrs: jax.Array, sorted_gid: jax.Array, chunk: int) -> jax.Array:
+    """(N, ROWS) attr rows -> (ROWS, Ks) depth-sorted column stream.
+
+    One whole-row gather from the small per-gaussian table (the fast TPU
+    gather path, ~2 ms at 1M instances) plus a layout transpose. The stream
+    is padded by one extra chunk so the last aligned window never runs off
+    the end. Barriers keep index arithmetic and downstream consumers out of
+    the gather fusion (fused scalar arithmetic drags TPU gathers onto the
+    serial S(1) path — see CLAUDE.md)."""
+    k = sorted_gid.shape[0]
+    ks = (k // chunk + 1) * chunk
+    idx = jnp.concatenate([sorted_gid, jnp.zeros(ks - k, jnp.int32)])
+    idx = jax.lax.optimization_barrier(idx)
+    rows = jnp.take(attrs, idx, axis=0)  # (Ks, ROWS)
+    return jax.lax.optimization_barrier(rows).T
+
+
+def segment_reduce_by_key(
+    vals: jax.Array,  # (R, M) per-instance rows, one row holding the key
+    key_row: int,
+    hist: jax.Array,  # (N,) exact per-key count among valid instances
+) -> jax.Array:
+    """Sum per-instance rows into per-key rows (R, N); key row zeroed.
+
+    One value-carrying sort by the key row (sort cost is ~flat in operand
+    count on TPU) + cumsum + segment-boundary differences. Invalid rows
+    carry BIG_KEY and group past every real key, so ``hist`` gives exact
+    boundaries with no pad accounting — the atomics-free replacement for
+    CUDA's atomicAdd gradient scatter.
+    """
+    r, m = vals.shape
+    key = vals[key_row]
+    rows = tuple(vals[i] for i in range(r) if i != key_row)
+    out = jax.lax.sort((key,) + rows, num_keys=1, is_stable=False)
+    svals = jnp.stack(out[1:], axis=0)  # (R-1, M) key-grouped
+    cs = jnp.cumsum(svals, axis=1)
+    ends = jnp.cumsum(hist)
+    starts = ends - hist
+    seg_end = jnp.take(cs, jnp.clip(ends - 1, 0, None), axis=1)
+    seg_start = jnp.where(
+        (starts > 0)[None, :],
+        jnp.take(cs, jnp.clip(starts - 1, 0, None), axis=1),
+        0.0,
+    )
+    seg = jnp.where((hist > 0)[None, :], seg_end - seg_start, 0.0)
+    n = hist.shape[0]
+    return jnp.concatenate(
+        [seg[:key_row], jnp.zeros((1, n), jnp.float32), seg[key_row:]], axis=0
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_raster_fn(nc, num_tiles, grid_x, chunk, interpret):
+    """custom-vjp'd rasterize: (N, ROWS) attrs -> (color, aux) per tile.
+
+    The vjp boundary sits at the per-gaussian attribute table, so neither
+    the sorted stream gather nor the instance->gaussian reduction ever
+    round-trips through XLA autodiff (whose scatter-add transpose is
+    serialized on TPU)."""
+    fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
+    bwd_call = _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret)
+
+    @jax.custom_vjp
+    def raster(attrs, hist, sorted_gid, meta, lim, blk):
+        stream = _build_stream(attrs, sorted_gid, chunk)
+        return fwd_call(meta, lim, blk, stream)
+
+    def raster_fwd(attrs, hist, sorted_gid, meta, lim, blk):
+        stream = _build_stream(attrs, sorted_gid, chunk)
+        color, aux = fwd_call(meta, lim, blk, stream)
+        return (color, aux), (stream, hist, meta, lim, blk, color, aux)
 
     def raster_bwd(res, g):
-        inst, meta, color, aux = res
+        stream, hist, meta, lim, blk, color, aux = res
         g_color, g_aux = g
-        (ginst,) = bwd_call(meta, inst, g_color, g_aux, color, aux)
-        return ginst, None
+        (ginst,) = bwd_call(meta, lim, blk, stream, g_color, g_aux, color, aux)
+        per_gauss = segment_reduce_by_key(ginst, ROW_GID, hist)  # (ROWS, N)
+        return per_gauss.T, None, None, None, None, None
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster
-
-
-@jax.custom_vjp
-def gather_instances(attrs: jax.Array, idx: jax.Array, hist: jax.Array) -> jax.Array:
-    """(ROWS, N) per-gaussian attributes -> (ROWS, M_pad) instance stream.
-
-    Forward is a fast axis-1 row gather. The custom backward replaces XLA's
-    scatter-add transpose (slow and serialized on TPU) with sort-by-gaussian
-    + cumsum + segment-boundary differences — the atomics-free reduction of
-    SURVEY.md §7 hard-part #2. ``hist`` is the per-gaussian occurrence count
-    of ``idx`` (analytically known from the binning rects), so the backward
-    never histograms with a scatter-add (~11 ms at 1M instances).
-    """
-    return jnp.take(attrs, idx, axis=1)
-
-
-def _gather_fwd(attrs, idx, hist):
-    return jnp.take(attrs, idx, axis=1), (idx, hist)
-
-
-def segment_sum_by_gaussian(
-    g: jax.Array, idx: jax.Array, n: int, hist: jax.Array | None = None
-) -> jax.Array:
-    """Sum per-instance rows (R, M) into per-gaussian rows (R, n).
-
-    Sort-by-gaussian + cumsum + segment-boundary differences: the TPU answer
-    to CUDA's atomicAdd gradient scatter (`backward.cu:1093-1137`).
-
-    Sorting (idx, iota) and applying the permutation with one row gather is
-    ~27% faster than carrying all R gradient rows through the sort (TPU sort
-    cost scales with operand count; gathers are cheap).
-    """
-    m = idx.shape[0]
-    _, perm = jax.lax.sort(
-        (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1, is_stable=False
-    )
-    gmat = jnp.take(g, perm, axis=1)  # (R, M), gaussian-grouped
-    cs = jnp.cumsum(gmat, axis=1)
-    if hist is None:
-        hist = jnp.zeros(n + 1, jnp.int32).at[idx].add(1)[:n]
-    ends = jnp.cumsum(hist)
-    starts = ends - hist
-    seg_end = cs[:, jnp.clip(ends - 1, 0, None)]
-    seg_start = jnp.where(
-        (starts > 0)[None, :], cs[:, jnp.clip(starts - 1, 0, None)], 0.0
-    )
-    return jnp.where((hist > 0)[None, :], seg_end - seg_start, 0.0)
-
-
-def _gather_bwd(res, g):
-    idx, hist = res
-    return segment_sum_by_gaussian(g, idx, hist.shape[0], hist), None, None
-
-
-gather_instances.defvjp(_gather_fwd, _gather_bwd)
 
 
 class PallasRasterOut(NamedTuple):
@@ -586,7 +634,12 @@ def pack_attrs(
     depths: jax.Array,  # (N,)
     feats: jax.Array,  # (N, F) F <= NFEAT_PAD
 ) -> jax.Array:
-    """Per-gaussian attribute matrix (ROWS, N) in instance-stream row order."""
+    """Per-gaussian attribute rows (N, ROWS) in instance-stream order.
+
+    Row ROW_GID carries the gaussian's own index as f32 (exact to 2^24);
+    the backward kernels copy it through as the reduction key, which is
+    what lets the gradient segment-sum run without any padded-id gather.
+    """
     n = blend_xy.shape[0]
     f = feats.shape[-1]
     if f < NFEAT_PAD:
@@ -604,18 +657,18 @@ def pack_attrs(
                     conic[:, 2],
                     opacities,
                     depths,
-                    jnp.ones(n, jnp.float32),
+                    jnp.arange(n, dtype=jnp.float32),
                 ],
-                axis=0,
+                axis=-1,
             ),
-            feats.T,
+            feats,
         ],
-        axis=0,
+        axis=-1,
     )
 
 
 def fisher_moments(
-    attrs: jax.Array,  # (ROWS, N) from pack_attrs
+    attrs: jax.Array,  # (N, ROWS) from pack_attrs
     binned,  # BinnedCSR
     num_tiles: int,
     grid_x: int,
@@ -623,28 +676,31 @@ def fisher_moments(
     seed: jax.Array,  # (NFEAT_PAD,) per-channel backward seed (e.g. 1e-3 RGB)
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Per-gaussian (16, N) squared-gradient moments (see _fisher_kernel).
+    """Per-gaussian (N, 16) squared-gradient moments (see _fisher_kernel).
 
-    Rows 0-14: upper triangle of sum_p v v^T over screen quantities
-    (x, y, conic a/b/c); row 15: sum_p (d opacity)^2.
+    Cols 0-14: upper triangle of sum_p v v^T over screen quantities
+    (x, y, conic a/b/c); col 15: sum_p (d opacity)^2.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = attrs.shape[1]
-    m_pad = binned.padded_gid.shape[0]
-    nc = m_pad // chunk
-    inst = gather_instances(attrs, binned.padded_gid, binned.gid_hist)
-    fwd_op = _make_raster_op(nc, num_tiles, grid_x, chunk, interpret)
-    color, aux = fwd_op(inst, binned.chunk_meta)
+    nc = binned.chunk_meta.shape[0]
+    fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
+    fish_call = _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret)
+    stream = _build_stream(attrs, binned.sorted_gid, chunk)
+    color, aux = fwd_call(
+        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream
+    )
     g_color = jnp.broadcast_to(seed[None, None, :], color.shape)
-    fish_op = _make_fisher_op(nc, num_tiles, grid_x, chunk, interpret)
-    (per_inst,) = fish_op(binned.chunk_meta, inst, g_color, color, aux)
-    per_inst = per_inst.reshape(ROWS, m_pad)
-    return segment_sum_by_gaussian(per_inst, binned.padded_gid, n, binned.gid_hist)
+    (per_inst,) = fish_call(
+        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
+        g_color, color, aux,
+    )
+    mom = segment_reduce_by_key(per_inst, FKEY_ROW, binned.gid_hist)
+    return mom[:16].T  # (N, 16)
 
 
 def rasterize_tiles_pallas(
-    attrs: jax.Array,  # (ROWS, N) from pack_attrs
+    attrs: jax.Array,  # (N, ROWS) from pack_attrs
     binned,  # BinnedCSR
     num_tiles: int,
     grid_x: int,
@@ -654,11 +710,12 @@ def rasterize_tiles_pallas(
     """Run the Pallas per-chunk compositing kernels (differentiable)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    m_pad = binned.padded_gid.shape[0]
-    nc = m_pad // chunk
-    inst = gather_instances(attrs, binned.padded_gid, binned.gid_hist)
-    op = _make_raster_op(nc, num_tiles, grid_x, chunk, interpret)
-    color, aux = op(inst, binned.chunk_meta)
+    nc = binned.chunk_meta.shape[0]
+    fn = _make_raster_fn(nc, num_tiles, grid_x, chunk, interpret)
+    color, aux = fn(
+        attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
+        binned.chunk_lim, binned.chunk_blk,
+    )
 
     # tiles with no instances are never visited by the kernel
     has = binned.counts > 0

@@ -42,11 +42,17 @@ def main():
         densify_dataset=densify_dataset,
     )
 
-    # timing telemetry averages (`scripts/splatam.py:959-979`)
-    for phase in ("tracking_frame", "mapping_frame"):
+    # the reference's four headline timing averages
+    # (`scripts/splatam.py:959-979`): tracking/mapping x iter (ms) / frame (s)
+    for phase, unit in (
+        ("tracking_iter", "ms"), ("tracking_frame", "s"),
+        ("mapping_iter", "ms"), ("mapping_frame", "s"),
+    ):
         vals = state.timing[phase]
         if vals:
-            print(f"avg {phase}: {np.mean(vals)*1000:.1f} ms")
+            mean = np.mean(vals)
+            val = mean * 1000 if unit == "ms" else mean
+            print(f"Average {phase.replace('_', ' ')} time: {val:.2f} {unit}")
 
     num_frames = config["data"].get("num_frames", -1)
     if num_frames == -1:

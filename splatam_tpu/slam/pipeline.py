@@ -35,6 +35,10 @@ from splatam_tpu.core.transforms import matrix_to_quaternion, pose_to_w2c
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.slam.densify import add_new_gaussians
 from splatam_tpu.slam.initialize import initialize_first_timestep
+from splatam_tpu.slam.inria_densify import (
+    accumulate_mean2d_gradient,
+    densify as inria_densify,
+)
 from splatam_tpu.slam.keyframes import keyframe_selection_overlap
 from splatam_tpu.slam.mapping import (
     init_mapping_optimizer,
@@ -213,11 +217,12 @@ def rgbd_slam(
                 # cache-miss) every big program for every new num_frames
                 gauss_only = {k: params[k] for k in GAUSSIAN_KEYS}
 
-                def run_track(n):
+                def run_track(n, resume=None):
                     return track_frame(
                         gauss_only, variables["active"], rot0, tran0,
                         track_im, track_depth, track_cam, raster_cfg,
                         num_iters=n,
+                        resume=resume,
                         use_sil_for_loss=cfg_track["use_sil_for_loss"],
                         sil_thres=cfg_track["sil_thres"],
                         ignore_outlier_depth_loss=cfg_track["ignore_outlier_depth_loss"],
@@ -244,9 +249,18 @@ def rgbd_slam(
                     and float(res.last_losses["depth"])
                     >= cfg_track.get("depth_loss_thres", 1e9)
                 ):
-                    # double the iterations once (`scripts/splatam.py:745-758`)
-                    res = run_track(2 * n_iters)
+                    # double the iterations once by CONTINUING the same Adam
+                    # run — pose, moments and best candidate carry over
+                    # (`scripts/splatam.py:745-758`, do_continue_slam)
+                    res = run_track(n_iters, resume=res.resume_state)
+                    n_iters = 2 * n_iters
                 params = _set_pose(params, time_idx, res.best_rot, res.best_tran)
+                # per-iteration average (the scan is one dispatch, so
+                # wall-per-iter = phase / iters) — reference headline stat
+                # (`scripts/splatam.py:970-973`)
+                state.timing["tracking_iter"].append(
+                    (time.time() - t0) / max(n_iters, 1)
+                )
         state.timing["tracking_frame"].append(time.time() - t0)
 
         # global progress telemetry (`utils/eval_helpers.py:152-276`)
@@ -302,46 +316,96 @@ def rgbd_slam(
             )
 
             t1 = time.time()
-            opt_state = init_mapping_optimizer(params)
-            gauss_map = {k: params[k] for k in GAUSSIAN_KEYS}
-            for it in range(cfg_map["num_iters"]):
-                kf = selected_frames[rng.integers(0, len(selected_frames))]
-                kf_rot, kf_tran = get_pose(params, kf["id"])
-                result = map_step(
-                    gauss_map, variables["active"], opt_state,
-                    jax.lax.stop_gradient(kf_rot),
-                    jax.lax.stop_gradient(kf_tran),
-                    kf["im"], kf["depth"], cam, raster_cfg,
-                    lrs=gauss_lrs,
-                    sil_thres=cfg_map["sil_thres"],
-                    use_sil_for_loss=cfg_map["use_sil_for_loss"],
-                    ignore_outlier_depth_loss=cfg_map["ignore_outlier_depth_loss"],
-                    loss_w_im=cfg_map["loss_weights"]["im"],
-                    loss_w_depth=cfg_map["loss_weights"]["depth"],
-                )
-                if it == 0 and bool(result.overflow):  # sync only on iter 0
-                    raster_cfg = _bump_raster(raster_cfg)
-                    print(
-                        f"[info] raster overflow in mapping at frame {time_idx}: "
-                        f"max_per_tile={raster_cfg.max_per_tile}"
+            use_gs_densify = cfg_map.get(
+                "use_gaussian_splatting_densification", False
+            )
+            # Snapshot so an overflow can retry the WHOLE phase at a larger
+            # capacity instead of keeping a truncated-gradient step. Checking
+            # overflow per iteration would force a ~35 ms device sync each
+            # step; instead the flags are OR-ed on device and fetched once
+            # per phase (overflow is rare — the retry path recompiles anyway).
+            snapshot = (params, dict(variables))
+            for attempt in range(3):
+                opt_state = init_mapping_optimizer(params)
+                gauss_map = {k: params[k] for k in GAUSSIAN_KEYS}
+                overflow_any = jnp.bool_(False)
+                for it in range(cfg_map["num_iters"]):
+                    kf = selected_frames[rng.integers(0, len(selected_frames))]
+                    kf_rot, kf_tran = get_pose(params, kf["id"])
+                    result = map_step(
+                        gauss_map, variables["active"], opt_state,
+                        jax.lax.stop_gradient(kf_rot),
+                        jax.lax.stop_gradient(kf_tran),
+                        kf["im"], kf["depth"], cam, raster_cfg,
+                        lrs=gauss_lrs,
+                        sil_thres=cfg_map["sil_thres"],
+                        use_sil_for_loss=cfg_map["use_sil_for_loss"],
+                        ignore_outlier_depth_loss=cfg_map["ignore_outlier_depth_loss"],
+                        loss_w_im=cfg_map["loss_weights"]["im"],
+                        loss_w_depth=cfg_map["loss_weights"]["depth"],
+                        track_means2d_grad=use_gs_densify,
                     )
-                opt_state = result.opt_state
-                gauss_map = result.params
-                if cfg_map.get("prune_gaussians", False):
-                    gauss_map, variables, opt_state = prune_gaussians(
-                        gauss_map, variables, opt_state, it,
-                        cfg_map["pruning_dict"], state.scene_radius,
-                    )
-                variables["max_2D_radius"] = jnp.where(
-                    result.seen,
-                    jnp.maximum(
-                        result.radius.astype(jnp.float32),
+                    overflow_any = overflow_any | result.overflow
+                    opt_state = result.opt_state
+                    gauss_map = result.params
+                    variables["max_2D_radius"] = jnp.where(
+                        result.seen,
+                        jnp.maximum(
+                            result.radius.astype(jnp.float32),
+                            variables["max_2D_radius"],
+                        ),
                         variables["max_2D_radius"],
-                    ),
-                    variables["max_2D_radius"],
+                    )
+                    if cfg_map.get("prune_gaussians", False):
+                        gauss_map, variables, opt_state = prune_gaussians(
+                            gauss_map, variables, opt_state, it,
+                            cfg_map["pruning_dict"], state.scene_radius,
+                        )
+                    # Inria gradient densification inside the mapping loop
+                    # (`scripts/splatam.py:883-885`). The reference runs
+                    # densify between backward and step; here it runs after
+                    # the fused step — appended gaussians start optimizing
+                    # next iteration either way (torch re-creates Parameters
+                    # whose .grad is None, so its step skips them too).
+                    if use_gs_densify:
+                        ddict = cfg_map["densify_dict"]
+                        if it <= ddict["stop_after"]:
+                            variables = accumulate_mean2d_gradient(
+                                variables, result.means2d_grad_norm,
+                                result.seen,
+                            )
+                        full = dict(params)
+                        full.update(gauss_map)
+                        full, variables, opt_state = inria_densify(
+                            full, variables, opt_state, it, ddict,
+                            state.scene_radius, rng,
+                        )
+                        params = full
+                        gauss_map = {k: full[k] for k in GAUSSIAN_KEYS}
+                if not bool(overflow_any):
+                    break
+                if attempt == 2:
+                    # keep the last attempt's (possibly truncated) result
+                    # rather than discarding the phase — params/variables/
+                    # gauss_map must stay capacity-consistent
+                    print(
+                        f"[warn] mapping at frame {time_idx} still overflows "
+                        f"after {attempt + 1} capacity bumps; keeping result"
+                    )
+                    break
+                params, variables = snapshot[0], dict(snapshot[1])
+                raster_cfg = _bump_raster(raster_cfg)
+                print(
+                    f"[info] raster overflow in mapping at frame {time_idx}: "
+                    f"retrying phase with max_per_tile={raster_cfg.max_per_tile}, "
+                    f"max_instances={raster_cfg.max_instances}"
                 )
             params = dict(params)
             params.update(gauss_map)
+            if cfg_map["num_iters"] > 0:
+                state.timing["mapping_iter"].append(
+                    (time.time() - t1) / cfg_map["num_iters"]
+                )
             state.timing["mapping_frame"].append(time.time() - t1)
 
         # --- keyframe bookkeeping ---

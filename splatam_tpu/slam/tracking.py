@@ -30,6 +30,21 @@ class TrackResult(NamedTuple):
     best_loss: jax.Array  # ()
     last_losses: Dict[str, jax.Array]
     overflow: jax.Array  # () bool — any iteration overflowed capacity
+    final_rot: jax.Array  # (4,) post-step pose of the LAST iteration
+    final_tran: jax.Array  # (3,)
+    opt: object  # AdamState — pass back via ``resume`` to continue
+
+    @property
+    def resume_state(self):
+        """Carry for continuing this optimization (depth-loss-thres doubling
+        continues the SAME Adam run, `scripts/splatam.py:745-758`)."""
+        return (
+            {"rot": self.final_rot, "tran": self.final_tran},
+            self.opt,
+            self.best_rot,
+            self.best_tran,
+            self.best_loss,
+        )
 
 
 @partial(jax.jit, static_argnames=("prop",))
@@ -89,9 +104,20 @@ def track_frame(
     lr_rot: float = 0.0004,
     lr_tran: float = 0.002,
     fixed_binning: bool = False,
+    resume=None,
 ) -> TrackResult:
-    pose0 = {"rot": rot0, "tran": tran0}
-    opt0 = init_adam(pose0)
+    """``resume`` (a previous result's ``.resume_state``) continues the same
+    Adam optimization — pose, moments, step count, and running best candidate
+    all carry over, matching the reference's `do_continue_slam` doubling
+    (`scripts/splatam.py:745-758`) which extends the SAME optimizer run
+    rather than restarting."""
+    if resume is None:
+        pose0 = {"rot": rot0, "tran": tran0}
+        opt0 = init_adam(pose0)
+        best0 = (rot0, tran0, jnp.float32(1e20))
+    else:
+        pose0, opt0, b_rot, b_tran, b_loss = resume
+        best0 = (b_rot, b_tran, b_loss)
 
     binned = None
     if fixed_binning:
@@ -148,8 +174,8 @@ def track_frame(
         overflow = overflow | out.overflow
         return (pose, opt, best_rot, best_tran, best_loss, overflow), out.losses
 
-    carry0 = (pose0, opt0, rot0, tran0, jnp.float32(1e20), jnp.bool_(False))
-    (pose, _, best_rot, best_tran, best_loss, overflow), losses_hist = jax.lax.scan(
+    carry0 = (pose0, opt0, best0[0], best0[1], best0[2], jnp.bool_(False))
+    (pose, opt, best_rot, best_tran, best_loss, overflow), losses_hist = jax.lax.scan(
         body, carry0, None, length=num_iters
     )
     last_losses = jax.tree.map(lambda x: x[-1], losses_hist)
@@ -159,4 +185,7 @@ def track_frame(
         best_loss=best_loss,
         last_losses=last_losses,
         overflow=overflow,
+        final_rot=pose["rot"],
+        final_tran=pose["tran"],
+        opt=opt,
     )

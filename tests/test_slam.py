@@ -112,6 +112,94 @@ def test_tracking_recovers_pose_perturbation():
     assert not bool(res.overflow)
 
 
+def test_tracking_resume_equals_longer_run():
+    """n iters + resume(n) must equal one 2n-iter run: the depth-loss-thres
+    doubling continues the SAME Adam state (`scripts/splatam.py:745-758`)."""
+    ds = SyntheticDataset(num_frames=2, width=96, height=64)
+    color, depth, k4, pose = ds[1]
+    pt_cld = np.concatenate([ds.means, ds.colors], axis=-1)
+    params, variables = initialize_params(
+        pt_cld, 2, (ds.scales[:, 0] ** 2), "isotropic"
+    )
+    gt_w2c = np.linalg.inv(pose)
+    from splatam_tpu.core.transforms import matrix_to_quaternion
+
+    rot0 = jnp.asarray(
+        np.asarray(matrix_to_quaternion(jnp.asarray(gt_w2c[:3, :3])))
+        + np.array([0.0, 0.003, 0.0, -0.002], np.float32)
+    )
+    tran0 = jnp.asarray(gt_w2c[:3, 3] + np.array([0.01, -0.01, 0.0], np.float32))
+    im = jnp.asarray(color.transpose(2, 0, 1) / 255.0)
+    dep = jnp.asarray(depth.transpose(2, 0, 1))
+    cfg = RasterConfig(max_instances=2**17, max_per_tile=512, chunk=64)
+
+    kw = dict(num_iters=6, lr_rot=0.001, lr_tran=0.004)
+    res_a = track_frame(
+        params, variables["active"], rot0, tran0, im, dep, ds._cam0, cfg, **kw
+    )
+    res_a2 = track_frame(
+        params, variables["active"], rot0, tran0, im, dep, ds._cam0, cfg,
+        resume=res_a.resume_state, **kw,
+    )
+    res_b = track_frame(
+        params, variables["active"], rot0, tran0, im, dep, ds._cam0, cfg,
+        num_iters=12, lr_rot=0.001, lr_tran=0.004,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a2.final_tran), np.asarray(res_b.final_tran),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a2.best_loss), np.asarray(res_b.best_loss), rtol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_slam_gradient_densification_grows_map():
+    """`use_gaussian_splatting_densification` wired into the mapping loop
+    (`scripts/splatam.py:883-885`): a hot gradient threshold must grow the
+    gaussian count mid-SLAM via clone/split; the flag off must not."""
+    ds = SyntheticDataset(num_frames=3, width=96, height=64)
+
+    def run(flag):
+        cfg = small_config(3)
+        cfg["mapping"]["num_iters"] = 5
+        cfg["mapping"]["prune_gaussians"] = False
+        cfg["mapping"]["use_gaussian_splatting_densification"] = flag
+        cfg["mapping"]["densify_dict"] = dict(
+            start_after=0,
+            remove_big_after=3000,
+            stop_after=4,
+            densify_every=3,
+            grad_thresh=1e-7,
+            num_to_split_into=2,
+            removal_opacity_threshold=-1.0,
+            final_removal_opacity_threshold=-1.0,
+            reset_opacities=False,
+            reset_opacities_every=3001,
+        )
+        state = rgbd_slam(cfg, ds, progress=False)
+        return num_active(state.variables)
+
+    n_off = run(False)
+    n_on = run(True)
+    assert n_on > n_off, (n_on, n_off)
+
+
+def test_mapping_overflow_retries_whole_phase(capsys):
+    """Overflow during mapping must retry the phase at a larger capacity
+    (round-1 bug: the truncated step was kept and only iter 0 checked)."""
+    ds = SyntheticDataset(num_frames=2, width=96, height=64)
+    cfg = small_config(2)
+    cfg["tracking"]["use_gt_poses"] = True  # isolate the mapping phase
+    cfg["mapping"]["num_iters"] = 2
+    cfg["raster"] = dict(max_instances=2**10, max_per_tile=64, chunk=64)
+    state = rgbd_slam(cfg, ds, progress=False)
+    out = capsys.readouterr().out
+    assert "raster overflow in mapping" in out
+    assert num_active(state.variables) > 0
+
+
 @pytest.mark.slow
 def test_end_to_end_slam_synthetic():
     ds = SyntheticDataset(num_frames=6, width=96, height=64)

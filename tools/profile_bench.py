@@ -1,0 +1,124 @@
+"""Profile the bench mapping step on the real chip; print top device ops.
+
+Runs the same fused fwd+bwd step as bench.py under jax.profiler.start_trace
+and aggregates the Chrome-trace device events by op name. Device op times are
+real on the axon tunnel (CLAUDE.md); host wall-clock is not.
+
+Usage: python tools/profile_bench.py [--iters 10] [--top 40]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--hlo", action="store_true", help="dump compiled HLO too")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_scene
+    from splatam_tpu.core.losses import count_instances, slam_loss
+    from splatam_tpu.core.params import GAUSSIAN_KEYS
+    from splatam_tpu.render.binning import RasterConfig, sized_config
+
+    n = 200_000
+    w, h = 1200, 680
+    params, active, cam = make_scene(n, w, h)
+    rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
+    tran = jnp.zeros(3, jnp.float32)
+    total = int(jax.jit(count_instances)(params, jnp.ones(n, bool), rot, tran, cam))
+    cfg = sized_config(total, RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128))
+    gt_im = jnp.zeros((3, h, w), jnp.float32)
+    gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
+
+    def loss_fn(gauss):
+        p = dict(params)
+        p.update(gauss)
+        out = slam_loss(
+            p, active, rot, tran, gt_im, gt_depth, cam, cfg,
+            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
+            use_sil_for_loss=False, sil_thres=0.5,
+            ignore_outlier_depth_loss=False,
+        )
+        return out.loss
+
+    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
+
+    @jax.jit
+    def run(gauss):
+        def body(i, g):
+            loss, grads = jax.value_and_grad(loss_fn)(g)
+            return jax.tree.map(lambda p, d: p + 1e-20 * d, g, grads)
+
+        out = jax.lax.fori_loop(0, args.iters, body, gauss)
+        return loss_fn(out)
+
+    if args.hlo:
+        txt = run.lower(gauss).compile().as_text()
+        open("/tmp/bench_hlo.txt", "w").write(txt)
+        print(f"HLO -> /tmp/bench_hlo.txt ({len(txt)} bytes)")
+
+    _ = float(run(gauss))  # compile + warm
+
+    logdir = tempfile.mkdtemp(prefix="benchtrace_")
+    jax.profiler.start_trace(logdir)
+    _ = float(run(gauss))
+    jax.profiler.stop_trace()
+
+    files = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    assert files, f"no trace under {logdir}"
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+
+    # device-track pids: process_name metadata containing "TPU" / "/device:"
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, nm in pid_names.items() if "TPU" in nm or "Device" in nm}
+
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    meta = {}
+    total_us = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            nm = e["name"]
+            agg[nm] += e.get("dur", 0)
+            cnt[nm] += 1
+            total_us += e.get("dur", 0)
+            if nm not in meta and e.get("args"):
+                meta[nm] = e["args"]
+    print(f"process names: {sorted(set(pid_names.values()))}")
+    print(f"total device-op time: {total_us/1000:.2f} ms over {args.iters}+1 iters")
+    print(f"per-iter: {total_us/1000/(args.iters+1):.2f} ms")
+    print(f"{'op':<52} {'tot ms':>8} {'n':>5} {'per-iter':>9}")
+    for nm, us in agg.most_common(args.top):
+        print(f"{nm[:52]:<52} {us/1000:>8.2f} {cnt[nm]:>5} {us/1000/(args.iters+1):>9.3f}")
+        info = meta.get(nm, {})
+        ln = info.get("long_name") or info.get("hlo_op") or ""
+        src = info.get("source_info") or ""
+        extra = " ".join(str(v) for v in (ln, src) if v)
+        if extra:
+            print(f"    {extra[:200]}")
+
+
+if __name__ == "__main__":
+    main()

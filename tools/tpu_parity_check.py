@@ -1,0 +1,115 @@
+"""On-TPU compiled-kernel parity check (VERDICT round-1 item 8a).
+
+The CPU test suite runs the Pallas kernels in interpret mode only; a Mosaic
+miscompile (or a bug in the DMA-ingest path, which interpret mode emulates)
+would ship silently. This script renders a small scene on the REAL chip with
+the compiled Pallas path and asserts forward images and parameter gradients
+allclose against the jnp oracle path running on the same chip.
+
+Runs in seconds (one small compile). Exits nonzero on mismatch.
+
+Usage: python tools/tpu_parity_check.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert jax.default_backend() != "cpu", (
+        "parity check must run on the TPU (got cpu backend)"
+    )
+
+    from bench import make_scene
+    from splatam_tpu.core.losses import slam_loss
+    from splatam_tpu.core.params import GAUSSIAN_KEYS
+    from splatam_tpu.render.binning import RasterConfig
+
+    n = 20_000
+    w, h = 320, 192
+    params, active, cam = make_scene(n, w, h, seed=3)
+    rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
+    tran = jnp.zeros(3, jnp.float32)
+    gt_im = jnp.zeros((3, h, w), jnp.float32)
+    gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
+
+    def loss_and_renders(gauss, backend):
+        cfg = RasterConfig(
+            max_instances=2**18, max_per_tile=1024, chunk=128, backend=backend
+        )
+        p = dict(params)
+        p.update(gauss)
+        out = slam_loss(
+            p, active, rot, tran, gt_im, gt_depth, cam, cfg,
+            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
+            use_sil_for_loss=False, sil_thres=0.5,
+            ignore_outlier_depth_loss=False,
+        )
+        return out.loss, (out.im, out.depth, out.silhouette)
+
+    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
+
+    results = {}
+    for backend in ("pallas", "jnp"):
+        f = jax.jit(
+            lambda g, b=backend: jax.value_and_grad(
+                lambda gg: loss_and_renders(gg, b), has_aux=True
+            )(g)
+        )
+        (loss, renders), grads = f(gauss)
+        results[backend] = (
+            float(loss),
+            [np.asarray(r) for r in renders],
+            {k: np.asarray(v) for k, v in grads.items()},
+        )
+
+    lp, rp, gp = results["pallas"]
+    lj, rj, gj = results["jnp"]
+
+    ok = True
+
+    def check(name, a, b, atol, rtol=1e-4):
+        nonlocal ok
+        err = np.max(np.abs(a - b)) if a.size else 0.0
+        scale = np.max(np.abs(b)) + 1e-12
+        good = np.allclose(a, b, atol=atol, rtol=rtol)
+        print(f"{name:<24} max_abs_err={err:.3e} rel={err/scale:.3e} "
+              f"{'OK' if good else 'FAIL'}")
+        ok &= bool(good)
+
+    print(f"loss pallas={lp:.6f} jnp={lj:.6f}")
+    ok &= abs(lp - lj) < 1e-3 * max(abs(lj), 1.0)
+    for nm, a, b, atol in (
+        ("im", rp[0], rj[0], 1e-4),
+        ("depth", rp[1], rj[1], 1e-3),
+        ("silhouette", rp[2], rj[2], 1e-4),
+    ):
+        check(nm, a, b, atol)
+    # Gradient tolerance: at this scene density (~400 instances/tile, deep
+    # saturated alpha stacks) the two f32 formulations (log-space MXU cumsum
+    # vs sequential cumprod) accumulate ~1e-2 relative elementwise noise in
+    # the alpha chain while agreeing directionally to ~2% (tools/fd_check.py)
+    # and matching bitwise across runs; the linear color path agrees to 1e-5.
+    for k in GAUSSIAN_KEYS:
+        scale = np.max(np.abs(gj[k]))
+        if scale < 1e-8:
+            print(f"grad[{k}]  ref ~ 0 (scale={scale:.1e}); skipped")
+            continue
+        check(f"grad[{k}]", gp[k] / scale, gj[k] / scale, 2e-2)
+
+    if not ok:
+        print("PARITY FAIL")
+        sys.exit(1)
+    print("PARITY OK (compiled pallas vs jnp oracle on TPU)")
+
+
+if __name__ == "__main__":
+    main()
