@@ -81,7 +81,7 @@ def main():
     gt_im = jnp.zeros((3, h, w), jnp.float32)
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
 
-    def loss_fn(gauss):
+    def loss_fn(gauss, binned=None):
         p = dict(params)
         p.update(gauss)
         out = slam_loss(
@@ -89,23 +89,39 @@ def main():
             tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
             use_sil_for_loss=False, sil_thres=0.5,
             ignore_outlier_depth_loss=False,
+            binned=binned,
         )
         return out.loss
 
     gauss = {k: params[k] for k in GAUSSIAN_KEYS}
     iters = 10
+    # the SLAM driver's shipped iteration behavior: binning frozen for
+    # rebin_every consecutive steps, then recomputed at the current params
+    # (slam/pipeline.py); the re-bin cost lands inside the measured loop
+    rebin_every = 10
+
+    from splatam_tpu.core.losses import compute_binned
+
+    def bin_now(g):
+        p = dict(params)
+        p.update(g)
+        return compute_binned(p, active, rot, tran, cam, cfg)
 
     @jax.jit
     def run(gauss):
         # chained fori_loop: one dispatch, real data dependency between
         # iterations, so the measurement is device time (the tunneled-TPU
         # environment adds ~35ms host round-trip per dispatch otherwise)
-        def body(i, g):
-            loss, grads = jax.value_and_grad(loss_fn)(g)
-            return jax.tree.map(lambda p, d: p + 1e-20 * d, g, grads)
+        def body(i, carry):
+            g, binned = carry
+            binned = jax.lax.cond(
+                i % rebin_every == 0, lambda b: bin_now(g), lambda b: b, binned
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(g, binned)
+            return (jax.tree.map(lambda p, d: p + 1e-20 * d, g, grads), binned)
 
-        out = jax.lax.fori_loop(0, iters, body, gauss)
-        return loss_fn(out)
+        out, binned = jax.lax.fori_loop(0, iters, body, (gauss, bin_now(gauss)))
+        return loss_fn(out, binned)
 
     # warmup / compile; also verify the pre-sized capacity didn't overflow
     out0 = jax.jit(

@@ -1,0 +1,17 @@
+"""iPhone offline NeRFCapture demo config
+(reference `configs/iphone/nerfcapture.py`): same experiment as ./splatam.py with
+scene "offline_demo"."""
+import os
+from importlib.machinery import SourceFileLoader
+
+_base = SourceFileLoader(
+    "iphone_splatam_base",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "splatam.py"),
+).load_module()
+
+scene_name = "offline_demo"
+base_dir = _base.base_dir
+
+config = dict(_base.config)
+config.update(workdir=f"{base_dir}/{scene_name}", overwrite=False)
+config["data"] = dict(_base.config["data"], sequence=scene_name)

@@ -14,6 +14,7 @@ rasterization work per optimization step.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict, NamedTuple
 
 import jax
@@ -152,6 +153,44 @@ def render_for_loss(
         binned=binned,
     )
     return out, aux
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compute_binned(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    cam_rot: jax.Array,
+    cam_tran: jax.Array,
+    cam: Camera,
+    cfg: RasterConfig,
+):
+    """Bin the scene at the given pose/params (pallas backend).
+
+    The result can be passed back to `slam_loss(binned=...)` for several
+    optimization iterations: Adam steps move poses millimeters and Gaussians
+    micro-distances, so tile membership and depth order are coherent across
+    nearby iterations while the blend geometry (means2d/conic/opacity per
+    iteration) stays exact. Callers re-bin every `rebin_every` steps and
+    after any prune/densify mutation (see slam/pipeline.py); the drift this
+    admits is bounded by tests/test_fixed_binning.py.
+    """
+    from splatam_tpu.render.binning import bin_gaussians_csr
+    from splatam_tpu.render.geometry import preprocess
+
+    iso = params["log_scales"].shape[1] == 1
+    log_scales = (
+        jnp.tile(params["log_scales"], (1, 3)) if iso else params["log_scales"]
+    )
+    pts, rots, _ = transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], cam_rot, cam_tran,
+        transform_rots=not iso, gaussians_grad=False, camera_grad=False,
+    )
+    proj = preprocess(
+        pts, jnp.exp(log_scales), normalize(rots), cam, active=active
+    )
+    return bin_gaussians_csr(
+        jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg
+    )
 
 
 def count_instances(

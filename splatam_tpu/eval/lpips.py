@@ -91,10 +91,30 @@ def load_lpips(path: Optional[str] = None) -> Optional[Callable]:
 
 
 def convert_torch_lpips(torch_lpips_state: Dict, out_path: str):
-    """Convert a torchmetrics/lpips state_dict into the npz this module reads."""
+    """Convert a torchmetrics/lpips state_dict into the npz this module reads.
+
+    The lpips package stores the AlexNet convs under `net.sliceK.<idx>` where
+    <idx> is the ORIGINAL torchvision features index (0/3/6/8/10) — the
+    slice number is packaging, not an index — and the learned heads under
+    `lin{i}.model.1.weight` (torchmetrics prefixes everything with one more
+    `net.`). Validated against an independent torch forward in
+    tests/test_lpips.py.
+    """
+    import re
+
     out = {}
     for k, v in torch_lpips_state.items():
         arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
-        k = k.replace("net.slice", "features.").replace("net.", "")
-        out[k] = arr
+        m = re.search(r"slice\d+\.(\d+)\.(weight|bias)$", k)
+        if m:
+            out[f"features.{m.group(1)}.{m.group(2)}"] = arr
+            continue
+        m = re.search(r"(lin\d+\.model\.1\.weight)$", k)
+        if m:
+            out[m.group(1)] = arr
+    expected = {f"{c}.{s}" for c in _CONV_KEYS for s in ("weight", "bias")}
+    expected |= {f"lin{i}.model.1.weight" for i in range(5)}
+    missing = expected - set(out)
+    if missing:
+        raise ValueError(f"state dict missing expected LPIPS keys: {missing}")
     np.savez(out_path, **out)

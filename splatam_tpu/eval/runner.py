@@ -67,7 +67,14 @@ def eval_sequence(
     save_frames: bool = False,
     save_plots: bool = False,
     lpips_weights: Optional[str] = None,
+    eig_fn=None,
+    log_fn=None,
 ) -> Dict[str, float]:
+    """``eig_fn(rot, tran, cam) -> float`` optionally scores each eval pose's
+    expected information gain (the reference's per-frame
+    `ros_handler.compute_eig_score`, `utils/eval_helpers.py:489-496`);
+    ``log_fn`` receives per-frame metric dicts (wandb-style sink,
+    `eval_helpers.py:598-609`)."""
     os.makedirs(eval_dir, exist_ok=True)
     plot_dir = None
     if save_plots:
@@ -76,6 +83,7 @@ def eval_sequence(
     lpips_fn = load_lpips(lpips_weights)
 
     psnr_list, rmse_list, l1_list, ssim_list, lpips_list = [], [], [], [], []
+    eig_list: List[float] = []
     gt_w2c_list: List[np.ndarray] = []
     first_w2c = None
     cam = None
@@ -146,6 +154,19 @@ def eval_sequence(
         denom = jnp.maximum(valid_depth_mask.sum(), 1)
         rmse_list.append(float((jnp.abs(diff) * valid_depth_mask).sum() / denom))
         l1_list.append(float((jnp.abs(diff) * valid_depth_mask).sum() / denom))
+        if eig_fn is not None:
+            eig_list.append(float(eig_fn(rot_t, tran_t, cam)))
+        if log_fn is not None:
+            log_fn(
+                {
+                    "Eval/PSNR": psnr_list[-1],
+                    "Eval/MS-SSIM": ssim_list[-1],
+                    "Eval/LPIPS": lpips_list[-1],
+                    "Eval/Depth L1": l1_list[-1],
+                    "Eval/frame": time_idx,
+                    **({"Eval/EIG": eig_list[-1]} if eig_list else {}),
+                }
+            )
 
         if save_frames:
             import imageio.v2 as imageio
@@ -190,14 +211,117 @@ def eval_sequence(
         "depth_rmse": float(np.mean(rmse_list)),
         "depth_l1": float(np.mean(l1_list)),
     }
+    if eig_list:
+        results["eig"] = float(np.mean(eig_list))
 
     for name, vals in [
         ("psnr", psnr_list), ("rmse", rmse_list), ("l1", l1_list),
-        ("ssim", ssim_list), ("lpips", lpips_list),
+        ("ssim", ssim_list), ("lpips", lpips_list), ("eig", eig_list),
     ]:
-        np.savetxt(os.path.join(eval_dir, f"{name}.txt"), np.array(vals))
+        if vals or name != "eig":
+            np.savetxt(os.path.join(eval_dir, f"{name}.txt"), np.array(vals))
     print(
         f"ATE RMSE: {ate_rmse*100:.2f} cm | PSNR: {results['psnr']:.2f} | "
         f"MS-SSIM: {results['ms_ssim']:.3f} | Depth L1: {results['depth_l1']*100:.2f} cm"
+    )
+    return results
+
+
+def eval_online(
+    dataset,
+    all_params: List[Dict],
+    active_list: List[jnp.ndarray],
+    num_frames: int,
+    eval_online_dir: str,
+    sil_thres: float,
+    mapping_iters: int,
+    add_new_gaussians: bool,
+    eval_every: int = 1,
+    raster_cfg: RasterConfig = RasterConfig(),
+    save_plots: bool = False,
+) -> Dict[str, float]:
+    """Online evaluation (`utils/eval_helpers.py:279-405`): each frame is
+    rendered with the MAP AS IT WAS at that time step (``all_params`` /
+    ``active_list`` hold per-timestep snapshots), measuring reconstruction
+    quality during the run rather than of the final map. Emits per-frame
+    PSNR / depth RMSE / depth L1 lists and averages."""
+    os.makedirs(eval_online_dir, exist_ok=True)
+    plot_dir = None
+    if save_plots:
+        plot_dir = os.path.join(eval_online_dir, "plots")
+        os.makedirs(plot_dir, exist_ok=True)
+
+    psnr_list, rmse_list, l1_list = [], [], []
+    tracking_only = mapping_iters == 0 and not add_new_gaussians
+    cam = None
+    first_w2c = None
+    for time_idx in range(num_frames):
+        color, depth, intrinsics, pose = dataset[time_idx]
+        if time_idx == 0:
+            first_w2c = np.linalg.inv(np.asarray(pose, dtype=np.float64))
+            k3 = np.asarray(intrinsics)[:3, :3]
+            cam = setup_camera(
+                np.asarray(color).shape[1], np.asarray(color).shape[0], k3,
+                first_w2c,
+            )
+        if time_idx != 0 and (time_idx + 1) % eval_every != 0:
+            continue
+        params = all_params[time_idx]
+        active = active_list[time_idx]
+        gauss_only = {
+            k: v for k, v in params.items() if not k.startswith("cam_")
+        }
+        im_gt = jnp.asarray(
+            np.transpose(np.asarray(color), (2, 0, 1)) / 255.0, jnp.float32
+        )
+        depth_gt = jnp.asarray(
+            np.transpose(np.asarray(depth), (2, 0, 1)), jnp.float32
+        )
+        rot_t, tran_t = get_pose(params, time_idx)
+        out, _ = render_for_loss(
+            gauss_only, active, rot_t, tran_t, cam, raster_cfg,
+            gaussians_grad=False, camera_grad=False,
+        )
+        im = out.color[:3]
+        rastered_depth = out.color[3:4]
+        silhouette = out.color[4]
+        valid_depth_mask = depth_gt > 0
+        presence_sil_mask = silhouette > sil_thres
+        if tracking_only:
+            weighted_im = im * presence_sil_mask[None]
+            weighted_gt = im_gt * presence_sil_mask[None]
+        else:
+            weighted_im, weighted_gt = im, im_gt
+        psnr_list.append(float(psnr(weighted_im, weighted_gt)))
+        diff = rastered_depth - depth_gt
+        if tracking_only:
+            diff = diff * presence_sil_mask[None]
+        denom = jnp.maximum(valid_depth_mask.sum(), 1)
+        rmse_list.append(
+            float(
+                jnp.sqrt(((diff * valid_depth_mask) ** 2).sum() / denom)
+            )
+        )
+        l1_list.append(float((jnp.abs(diff) * valid_depth_mask).sum() / denom))
+        if plot_dir is not None:
+            _qual_plot(
+                plot_dir, time_idx, np.asarray(im_gt), np.asarray(im),
+                np.asarray(depth_gt[0]), np.asarray(rastered_depth[0]),
+                np.asarray(silhouette), psnr_list[-1],
+            )
+
+    results = {
+        "psnr": float(np.mean(psnr_list)),
+        "depth_rmse": float(np.mean(rmse_list)),
+        "depth_l1": float(np.mean(l1_list)),
+    }
+    for name, vals in [
+        ("psnr", psnr_list), ("rmse", rmse_list), ("l1", l1_list),
+    ]:
+        np.savetxt(os.path.join(eval_online_dir, f"{name}.txt"), np.array(vals))
+    print(
+        f"Online: PSNR {results['psnr']:.2f} | Depth RMSE "
+        f"{results['depth_rmse']*100:.2f} cm | Depth L1 "
+        f"{results['depth_l1']*100:.2f} cm"
     )
     return results

@@ -98,7 +98,7 @@ def rasterize_rows_sharded(
             local.means2d - shift[None, :], local.conic, o, local.depths, c
         )
         res = rasterize_tiles_pallas(
-            attrs, binned, num_tiles_local, grid_x, cfg.chunk
+            attrs, binned, num_tiles_local, grid_x, cfg.chunk, nfeat=nfeat
         )
 
         bg_full = bg

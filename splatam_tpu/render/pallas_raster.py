@@ -76,20 +76,37 @@ FROWS = 24
 
 
 def _triangular(chunk: int) -> jax.Array:
-    """(chunk, chunk) upper-triangular ones: x @ tri is an inclusive cumsum
-    of x along its last axis, computed on the MXU."""
+    """(chunk, chunk) upper-triangular ones (bf16-exact): x @ tri is an
+    inclusive cumsum of x along its last axis, computed on the MXU."""
     i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    return (i <= j).astype(jnp.float32)
+    return (i <= j).astype(jnp.bfloat16)
 
 
 def _cumsum_mxu(x: jax.Array, tri: jax.Array) -> jax.Array:
-    """Inclusive cumsum along axis -1 via triangular matmul (f32 MXU)."""
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    """Inclusive cumsum along axis -1 via triangular matmul (MXU).
+
+    The operand is split into three bf16 terms (~24 mantissa bits, i.e. f32
+    accuracy) and multiplied against the EXACT 0/1 triangular matrix with
+    f32 accumulation — 3 MXU passes where precision=HIGHEST would burn 6
+    (Mosaic does not support the 3-pass HIGH setting). DEFAULT (1-pass
+    bf16) is NOT enough: ~8 mantissa bits => ~1% transmittance error.
+    Verified by tools/tpu_parity_check.py against the sequential-cumprod
+    jnp oracle on the real chip.
+    """
+
+    def term(t):
+        return jax.lax.dot_general(
+            t, tri, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (term(x1) + term(x2)) + term(x3)
 
 
 def _pixel_coords(t, grid_x: int):
@@ -182,10 +199,10 @@ def _fwd_kernel(
 
         log1m = jnp.log1p(-alpha)
         incl = _cumsum_mxu(log1m, _triangular(chunk))
-        t_cum = t_run * jnp.exp(incl)  # T after each gaussian
-        # T before = T after / (1 - alpha); alpha <= 0.99 keeps it stable
-        # and a divide is far cheaper than a second (NPIX, chunk) exp
-        t_before = t_cum / (1.0 - alpha)
+        # one exp for T BEFORE each gaussian (exclusive cumsum); T after is
+        # a multiply — cheaper than a second exp or a divide
+        t_before = t_run * jnp.exp(incl - log1m)
+        t_cum = t_before * (1.0 - alpha)
         live = (t_cum >= T_STOP) & (dead == 0.0)
 
         w = jnp.where(live, alpha * t_before, 0.0)
@@ -264,8 +281,8 @@ def _bwd_kernel(
         tri = _triangular(chunk)
         log1m = jnp.log1p(-alpha)
         incl = _cumsum_mxu(log1m, tri)
-        t_cum = t_run * jnp.exp(incl)
-        t_before = t_cum / (1.0 - alpha)
+        t_before = t_run * jnp.exp(incl - log1m)
+        t_cum = t_before * (1.0 - alpha)
         live = (t_cum >= T_STOP) & (dead == 0.0)
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -397,8 +414,8 @@ def _fisher_kernel(
         tri = _triangular(chunk)
         log1m = jnp.log1p(-alpha)
         incl = _cumsum_mxu(log1m, tri)
-        t_cum = t_run * jnp.exp(incl)
-        t_before = t_cum / (1.0 - alpha)
+        t_before = t_run * jnp.exp(incl - log1m)
+        t_cum = t_before * (1.0 - alpha)
         live = (t_cum >= T_STOP) & (dead == 0.0)
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -559,20 +576,24 @@ def segment_reduce_by_key(
     vals: jax.Array,  # (R, M) per-instance rows, one row holding the key
     key_row: int,
     hist: jax.Array,  # (N,) exact per-key count among valid instances
+    value_rows: tuple | None = None,  # rows to reduce (default: all but key)
 ) -> jax.Array:
     """Sum per-instance rows into per-key rows (R, N); key row zeroed.
 
-    One value-carrying sort by the key row (sort cost is ~flat in operand
-    count on TPU) + cumsum + segment-boundary differences. Invalid rows
-    carry BIG_KEY and group past every real key, so ``hist`` gives exact
-    boundaries with no pad accounting — the atomics-free replacement for
-    CUDA's atomicAdd gradient scatter.
+    One value-carrying sort by the key row + cumsum + segment-boundary
+    differences. Sort cost scales with operand count (~0.6 ms per carried
+    value row at 1.2M), so ``value_rows`` should name only rows that carry
+    real gradients. Invalid rows carry BIG_KEY and group past every real
+    key, so ``hist`` gives exact boundaries with no pad accounting — the
+    atomics-free replacement for CUDA's atomicAdd gradient scatter.
     """
     r, m = vals.shape
+    if value_rows is None:
+        value_rows = tuple(i for i in range(r) if i != key_row)
     key = vals[key_row]
-    rows = tuple(vals[i] for i in range(r) if i != key_row)
+    rows = tuple(vals[i] for i in value_rows)
     out = jax.lax.sort((key,) + rows, num_keys=1, is_stable=False)
-    svals = jnp.stack(out[1:], axis=0)  # (R-1, M) key-grouped
+    svals = jnp.stack(out[1:], axis=0)  # (len(value_rows), M) key-grouped
     cs = jnp.cumsum(svals, axis=1)
     ends = jnp.cumsum(hist)
     starts = ends - hist
@@ -584,21 +605,27 @@ def segment_reduce_by_key(
     )
     seg = jnp.where((hist > 0)[None, :], seg_end - seg_start, 0.0)
     n = hist.shape[0]
-    return jnp.concatenate(
-        [seg[:key_row], jnp.zeros((1, n), jnp.float32), seg[key_row:]], axis=0
-    )
+    full = [jnp.zeros((1, n), jnp.float32)] * r
+    for j, i in enumerate(value_rows):
+        full[i] = seg[j : j + 1]
+    return jnp.concatenate(full, axis=0)
 
 
 @functools.lru_cache(maxsize=32)
-def _make_raster_fn(nc, num_tiles, grid_x, chunk, interpret):
+def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret):
     """custom-vjp'd rasterize: (N, ROWS) attrs -> (color, aux) per tile.
 
     The vjp boundary sits at the per-gaussian attribute table, so neither
     the sorted stream gather nor the instance->gaussian reduction ever
     round-trips through XLA autodiff (whose scatter-add transpose is
-    serialized on TPU)."""
+    serialized on TPU). ``nfeat`` bounds the feature rows carried through
+    the reduction sort (each carried row costs ~0.6 ms at 1.2M instances;
+    rows past nfeat are zero by construction)."""
     fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
     bwd_call = _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret)
+    value_rows = tuple(range(ROW_GID)) + tuple(
+        range(ROW_FEAT0, ROW_FEAT0 + nfeat)
+    )
 
     @jax.custom_vjp
     def raster(attrs, hist, sorted_gid, meta, lim, blk):
@@ -614,7 +641,9 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, interpret):
         stream, hist, meta, lim, blk, color, aux = res
         g_color, g_aux = g
         (ginst,) = bwd_call(meta, lim, blk, stream, g_color, g_aux, color, aux)
-        per_gauss = segment_reduce_by_key(ginst, ROW_GID, hist)  # (ROWS, N)
+        per_gauss = segment_reduce_by_key(
+            ginst, ROW_GID, hist, value_rows
+        )  # (ROWS, N)
         return per_gauss.T, None, None, None, None, None
 
     raster.defvjp(raster_fwd, raster_bwd)
@@ -695,7 +724,9 @@ def fisher_moments(
         binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
         g_color, color, aux,
     )
-    mom = segment_reduce_by_key(per_inst, FKEY_ROW, binned.gid_hist)
+    mom = segment_reduce_by_key(
+        per_inst, FKEY_ROW, binned.gid_hist, tuple(range(16))
+    )
     return mom[:16].T  # (N, 16)
 
 
@@ -706,12 +737,13 @@ def rasterize_tiles_pallas(
     grid_x: int,
     chunk: int,
     interpret: bool | None = None,
+    nfeat: int = NFEAT_PAD - 2,
 ) -> PallasRasterOut:
     """Run the Pallas per-chunk compositing kernels (differentiable)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nc = binned.chunk_meta.shape[0]
-    fn = _make_raster_fn(nc, num_tiles, grid_x, chunk, interpret)
+    fn = _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret)
     color, aux = fn(
         attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
         binned.chunk_lim, binned.chunk_blk,

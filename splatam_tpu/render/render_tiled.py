@@ -57,7 +57,7 @@ def _tile_pixel_coords(cam: Camera):
 
 def rasterize_tiled(
     means3d: jax.Array,
-    colors: jax.Array,
+    colors: jax.Array | None,
     opacities: jax.Array,
     scales: jax.Array,
     rotations: jax.Array,
@@ -66,8 +66,17 @@ def rasterize_tiled(
     active: jax.Array | None = None,
     means2d_dummy: jax.Array | None = None,
     binned=None,
+    shs: jax.Array | None = None,
+    sh_degree: int = 0,
 ) -> tuple[RenderOutput, RenderAux]:
     """Render RGB (or arbitrary 3-channel features) + median depth.
+
+    ``shs`` ((N, K, 3) spherical-harmonics coefficients, K >= (deg+1)^2)
+    replaces or prepends to ``colors``: view-dependent RGB is evaluated per
+    Gaussian at ``cam.campos`` before binning, matching the reference's
+    shs-xor-colors_precomp contract (`__init__.py:170-187`,
+    `forward.cu:20-71`). Pass ``colors=None`` with shs for a pure SH render,
+    or extra feature channels in ``colors`` to blend alongside.
 
     ``binned`` optionally reuses a precomputed BinnedCSR (pallas backend
     only): during tracking the pose moves millimeters per iteration, so the
@@ -83,6 +92,14 @@ def rasterize_tiled(
     from ``cam.bg``, extras blend against 0.
     """
     opacities = opacities.reshape(-1)
+    if shs is not None:
+        from splatam_tpu.render.sh import eval_sh
+
+        sh_rgb = eval_sh(sh_degree, shs, means3d, cam.campos)
+        colors = (
+            sh_rgb if colors is None
+            else jnp.concatenate([sh_rgb, colors], axis=-1)
+        )
     nfeat = colors.shape[-1]
     proj = preprocess(means3d, scales, rotations, cam, active=active)
     proj_ng = jax.tree.map(jax.lax.stop_gradient, proj)
@@ -234,7 +251,7 @@ def _rasterize_pallas(
     nfeat = colors.shape[-1]
     attrs = pack_attrs(blend_xy, proj.conic, opacities, proj.depths, colors)
     res = rasterize_tiles_pallas(
-        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk
+        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, nfeat=nfeat
     )
 
     bg = cam.bg

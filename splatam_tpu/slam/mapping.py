@@ -62,8 +62,13 @@ def map_step(
     loss_w_im: float = 0.5,
     loss_w_depth: float = 1.0,
     track_means2d_grad: bool = False,
+    binned=None,
 ) -> MapStepResult:
-    """One mapping Adam iteration on the Gaussian parameters (pose frozen)."""
+    """One mapping Adam iteration on the Gaussian parameters (pose frozen).
+
+    ``binned`` optionally reuses a precomputed instance stream (see
+    core.losses.compute_binned) — the driver caches one per keyframe and
+    re-bins every rebin_every iterations / after map mutations."""
     gauss = {k: params[k] for k in GAUSSIAN_KEYS}
     dummy = (
         jnp.zeros((gauss["means3D"].shape[0], 2), jnp.float32)
@@ -81,6 +86,7 @@ def map_step(
             use_sil_for_loss=use_sil_for_loss, sil_thres=sil_thres,
             ignore_outlier_depth_loss=ignore_outlier_depth_loss,
             means2d_dummy=d,
+            binned=binned,
         )
         return out.loss, out
 

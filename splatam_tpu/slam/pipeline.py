@@ -217,12 +217,13 @@ def rgbd_slam(
                 # cache-miss) every big program for every new num_frames
                 gauss_only = {k: params[k] for k in GAUSSIAN_KEYS}
 
-                def run_track(n, resume=None):
+                def run_track_once(n, resume=None, binned=None):
                     return track_frame(
                         gauss_only, variables["active"], rot0, tran0,
                         track_im, track_depth, track_cam, raster_cfg,
                         num_iters=n,
                         resume=resume,
+                        binned=binned,
                         use_sil_for_loss=cfg_track["use_sil_for_loss"],
                         sil_thres=cfg_track["sil_thres"],
                         ignore_outlier_depth_loss=cfg_track["ignore_outlier_depth_loss"],
@@ -232,6 +233,32 @@ def rgbd_slam(
                         lr_tran=cfg_track["lrs"]["cam_trans"],
                         fixed_binning=cfg_track.get("fixed_binning", False),
                     )
+
+                # Binning is frozen for `rebin_every` consecutive iterations
+                # and recomputed at the then-current pose (tile membership
+                # and depth order are pose-coherent across mm-scale Adam
+                # steps; the blend stays exact). rebin_every=0 restores the
+                # reference's per-iteration re-sort inside one dispatch.
+                rebin = cfg_track.get("rebin_every", 10)
+
+                def run_track(n, resume=None):
+                    if not rebin or cfg_track.get("fixed_binning", False):
+                        return run_track_once(n, resume=resume)
+                    res, done = None, 0
+                    while done < n:
+                        step = min(rebin, n - done)
+                        if res is None:
+                            pose, rstate = (rot0, tran0), resume
+                        else:
+                            pose = (res.final_rot, res.final_tran)
+                            rstate = res.resume_state
+                        binned = compute_binned(
+                            gauss_only, variables["active"], pose[0], pose[1],
+                            track_cam, raster_cfg,
+                        )
+                        res = run_track_once(step, resume=rstate, binned=binned)
+                        done += step
+                    return res
 
                 res = run_track(n_iters)
                 for _ in range(3):  # auto-escalate capacity on overflow
@@ -325,13 +352,37 @@ def rgbd_slam(
             # step; instead the flags are OR-ed on device and fetched once
             # per phase (overflow is rare — the retry path recompiles anyway).
             snapshot = (params, dict(variables))
+            # per-keyframe frozen binning: mapping samples a random keyframe
+            # per iteration, so each keyframe's instance stream is cached at
+            # first use and refreshed every rebin_every iterations (or after
+            # any prune/densify mutation). rebin_every=0 => reference-exact
+            # per-iteration binning.
+            map_rebin = cfg_map.get("rebin_every", 10)
             for attempt in range(3):
                 opt_state = init_mapping_optimizer(params)
                 gauss_map = {k: params[k] for k in GAUSSIAN_KEYS}
                 overflow_any = jnp.bool_(False)
+                binned_cache: Dict[int, tuple] = {}
                 for it in range(cfg_map["num_iters"]):
                     kf = selected_frames[rng.integers(0, len(selected_frames))]
                     kf_rot, kf_tran = get_pose(params, kf["id"])
+                    binned = None
+                    if map_rebin:
+                        cached = binned_cache.get(kf["id"])
+                        if cached is None or it - cached[1] >= map_rebin:
+                            from splatam_tpu.core.losses import compute_binned
+
+                            cached = (
+                                compute_binned(
+                                    gauss_map, variables["active"],
+                                    jax.lax.stop_gradient(kf_rot),
+                                    jax.lax.stop_gradient(kf_tran),
+                                    cam, raster_cfg,
+                                ),
+                                it,
+                            )
+                            binned_cache[kf["id"]] = cached
+                        binned = cached[0]
                     result = map_step(
                         gauss_map, variables["active"], opt_state,
                         jax.lax.stop_gradient(kf_rot),
@@ -344,6 +395,7 @@ def rgbd_slam(
                         loss_w_im=cfg_map["loss_weights"]["im"],
                         loss_w_depth=cfg_map["loss_weights"]["depth"],
                         track_means2d_grad=use_gs_densify,
+                        binned=binned,
                     )
                     overflow_any = overflow_any | result.overflow
                     opt_state = result.opt_state
@@ -361,6 +413,7 @@ def rgbd_slam(
                             gauss_map, variables, opt_state, it,
                             cfg_map["pruning_dict"], state.scene_radius,
                         )
+                        binned_cache.clear()  # active set may have changed
                     # Inria gradient densification inside the mapping loop
                     # (`scripts/splatam.py:883-885`). The reference runs
                     # densify between backward and step; here it runs after
@@ -382,6 +435,7 @@ def rgbd_slam(
                         )
                         params = full
                         gauss_map = {k: full[k] for k in GAUSSIAN_KEYS}
+                        binned_cache.clear()  # capacity/active may change
                 if not bool(overflow_any):
                     break
                 if attempt == 2:

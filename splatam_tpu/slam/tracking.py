@@ -105,6 +105,7 @@ def track_frame(
     lr_tran: float = 0.002,
     fixed_binning: bool = False,
     resume=None,
+    binned=None,
 ) -> TrackResult:
     """``resume`` (a previous result's ``.resume_state``) continues the same
     Adam optimization — pose, moments, step count, and running best candidate
@@ -119,35 +120,16 @@ def track_frame(
         pose0, opt0, b_rot, b_tran, b_loss = resume
         best0 = (b_rot, b_tran, b_loss)
 
-    binned = None
-    if fixed_binning:
+    if binned is None and fixed_binning:
         # Bin once at the initial pose and reuse the instance stream for
         # every iteration: tracking moves the camera millimeters per step,
         # so tile assignment and depth order are effectively constant while
         # the blend geometry (means2d/conic per iteration) stays exact.
-        # ~1.7x faster tracking; a documented deviation from the reference,
-        # which re-sorts every iteration — off by default.
-        import jax.numpy as _jnp
+        # The SLAM driver instead passes ``binned`` explicitly and re-bins
+        # every rebin_every iterations (chunked via ``resume``).
+        from splatam_tpu.core.losses import compute_binned
 
-        from splatam_tpu.core.transforms import transform_to_frame
-        from splatam_tpu.render.binning import bin_gaussians_csr
-        from splatam_tpu.render.geometry import preprocess
-
-        iso = params["log_scales"].shape[1] == 1
-        log_scales = (
-            _jnp.tile(params["log_scales"], (1, 3)) if iso
-            else params["log_scales"]
-        )
-        pts, rots, _ = transform_to_frame(
-            params["means3D"], params["unnorm_rotations"], rot0, tran0,
-            transform_rots=not iso, gaussians_grad=False, camera_grad=False,
-        )
-        proj0 = preprocess(
-            pts, _jnp.exp(log_scales), normalize(rots), cam, active=active
-        )
-        binned = bin_gaussians_csr(
-            jax.tree.map(jax.lax.stop_gradient, proj0), cam, cfg
-        )
+        binned = compute_binned(params, active, rot0, tran0, cam, cfg)
 
     def loss_fn(pose):
         out = slam_loss(

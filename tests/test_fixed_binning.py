@@ -45,3 +45,38 @@ def test_fixed_binning_tracks_as_well():
     # perturbs the step direction, not the optimum)
     np.testing.assert_allclose(poses[True], poses[False], atol=3e-2)
     assert losses[True] < 1.25 * losses[False]
+
+
+def test_frozen_binning_render_drift_bounded():
+    """Oracle bound for the rebin_every deviation: rendering with binning
+    frozen from a pose that then moved a realistic per-rebin-window distance
+    (mm-scale translation + millirad rotation) must stay close to an
+    exactly re-binned render."""
+    from splatam_tpu.core.losses import compute_binned, render_for_loss
+
+    ds = SyntheticDataset(num_frames=2, width=64, height=48, seed=0)
+    color, depth, k, pose = ds[0]
+    params, variables, _, _, cam, _ = initialize_first_timestep(
+        color, depth, k, pose, 2, 3.0, "isotropic"
+    )
+    cfg = RasterConfig(
+        max_instances=2**16, max_per_tile=512, chunk=128, backend="pallas"
+    )
+    rot0 = params["cam_unnorm_rots"][0, :, 0]
+    tran0 = params["cam_trans"][0, :, 0]
+    # ~10 Adam steps of drift at tracking lrs (lr_tran 2e-3)
+    rot1 = rot0 + jnp.asarray([0.0, 2e-3, -1e-3, 1e-3])
+    tran1 = tran0 + jnp.asarray([5e-3, -5e-3, 5e-3])
+
+    stale = compute_binned(params, variables["active"], rot0, tran0, cam, cfg)
+    out_stale, _ = render_for_loss(
+        params, variables["active"], rot1, tran1, cam, cfg,
+        gaussians_grad=False, camera_grad=False, binned=stale,
+    )
+    out_fresh, _ = render_for_loss(
+        params, variables["active"], rot1, tran1, cam, cfg,
+        gaussians_grad=False, camera_grad=False,
+    )
+    im_err = float(jnp.mean(jnp.abs(out_stale.color[:3] - out_fresh.color[:3])))
+    im_mag = float(jnp.mean(jnp.abs(out_fresh.color[:3])))
+    assert im_err < 0.02 * max(im_mag, 1e-3), (im_err, im_mag)
