@@ -15,11 +15,32 @@ if _os.environ.get("SPLATAM_TPU_NO_COMPILATION_CACHE", "0") != "1":
     try:
         import jax as _jax
 
+        def _host_key() -> str:
+            # XLA:CPU caches AOT-compiled executables specialized to the
+            # compiling machine's CPU features; loading them on a different
+            # machine hard-aborts the process ("Target machine feature ...
+            # is not supported on the host machine"). Keying the cache dir
+            # by the host's CPU flags keeps heterogeneous machines (e.g. a
+            # shared NFS home) from ever sharing AOT artifacts.
+            import hashlib
+            import platform
+
+            ident = platform.machine()
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            ident += line
+                            break
+            except OSError:
+                ident += platform.processor()
+            return hashlib.sha1(ident.encode()).hexdigest()[:12]
+
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.environ.get(
                 "SPLATAM_TPU_COMPILATION_CACHE",
-                _os.path.expanduser("~/.cache/splatam_tpu_jax"),
+                _os.path.expanduser(f"~/.cache/splatam_tpu_jax/{_host_key()}"),
             ),
         )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -18,6 +18,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Env-gated multi-host bootstrap (`jax.distributed.initialize`).
+
+    The reference has no distributed backend (single GPU, SURVEY §2.3); the
+    TPU-native equivalent is one JAX process per host joined through a
+    coordinator. Activated when SPLATAM_TPU_COORDINATOR is set (or the
+    standard JAX_COORDINATOR_ADDRESS), with SPLATAM_TPU_NUM_PROCESSES /
+    SPLATAM_TPU_PROCESS_ID (both optional when the platform can infer them,
+    e.g. TPU pods). Returns True if distributed mode was initialized. Call
+    once at driver startup (run/slam.py, run/gaussian_splatting.py do).
+    """
+    import os
+
+    coord = os.environ.get("SPLATAM_TPU_COORDINATOR") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if not coord:
+        return False
+    kwargs = {"coordinator_address": coord}
+    if os.environ.get("SPLATAM_TPU_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["SPLATAM_TPU_NUM_PROCESSES"])
+    if os.environ.get("SPLATAM_TPU_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["SPLATAM_TPU_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def make_mesh(
     n_tiles: Optional[int] = None,
     n_data: int = 1,

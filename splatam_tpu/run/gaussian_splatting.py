@@ -22,6 +22,9 @@ from splatam_tpu.utils.ply import save_ply_from_params
 
 
 def main():
+    from splatam_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # env-gated multi-host bootstrap
     args = standard_argparser("Offline 3DGS training").parse_args()
     config = load_experiment_config(args.config)
     if args.run_name is not None:

@@ -26,6 +26,9 @@ from splatam_tpu.utils.ply import save_ply_from_params
 
 
 def main():
+    from splatam_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # env-gated multi-host bootstrap
     args = standard_argparser("Run SplaTAM SLAM").parse_args()
     config = load_experiment_config(args.config)
     if args.run_name is not None:

@@ -31,6 +31,7 @@ from splatam_tpu.core.params import (
     num_active,
     set_pose,
 )
+from splatam_tpu.core.losses import compute_binned
 from splatam_tpu.core.transforms import matrix_to_quaternion, pose_to_w2c
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.slam.densify import add_new_gaussians
@@ -370,8 +371,6 @@ def rgbd_slam(
                     if map_rebin:
                         cached = binned_cache.get(kf["id"])
                         if cached is None or it - cached[1] >= map_rebin:
-                            from splatam_tpu.core.losses import compute_binned
-
                             cached = (
                                 compute_binned(
                                     gauss_map, variables["active"],

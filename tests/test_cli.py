@@ -154,3 +154,54 @@ def test_slam_cli_separate_densify_res(replica_scene, tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["slam", str(cfg)])
     slam.main()
     assert os.path.exists(os.path.join(workdir, "test_0", "params.npz"))
+
+
+def test_realtime_cli_replay(tmp_path):
+    """run/realtime.py flag parity (`splatam_realtime.py:1117-1162`) driving
+    a replayed dumped stream end-to-end."""
+    from splatam_tpu.data.synthetic import SyntheticDataset
+    from splatam_tpu.run.realtime import main as realtime_main
+    from splatam_tpu.utils.dump import dump_dataset
+
+    ds = SyntheticDataset(num_frames=3, width=64, height=48)
+    dump_dir = str(tmp_path / "dump")
+    dump_dataset(ds, dump_dir)
+
+    cfg = tmp_path / "rt.py"
+    cfg.write_text(f"""
+config = dict(
+    workdir="{tmp_path}/experiments", run_name="rt_0", seed=0,
+    map_every=1, keyframe_every=2, mapping_window_size=4,
+    scene_radius_depth_ratio=3, mean_sq_dist_method="projective",
+    gaussian_distribution="isotropic",
+    raster=dict(max_instances=2**16, max_per_tile=512, chunk=64, backend="jnp"),
+    data=dict(num_frames=-1),
+    tracking=dict(
+        use_gt_poses=False, forward_prop=True, num_iters=4,
+        use_sil_for_loss=True, sil_thres=0.99, use_l1=True,
+        ignore_outlier_depth_loss=False,
+        loss_weights=dict(im=0.5, depth=1.0),
+        lrs=dict(cam_unnorm_rots=0.002, cam_trans=0.004),
+    ),
+    mapping=dict(
+        num_iters=3, add_new_gaussians=True, sil_thres=0.5, use_l1=True,
+        use_sil_for_loss=False, ignore_outlier_depth_loss=False,
+        loss_weights=dict(im=0.5, depth=1.0),
+        lrs=dict(means3D=0.0001, rgb_colors=0.0025, unnorm_rotations=0.001,
+                 logit_opacities=0.05, log_scales=0.001,
+                 cam_unnorm_rots=0.0, cam_trans=0.0),
+        prune_gaussians=False,
+        use_gaussian_splatting_densification=False,
+    ),
+)
+""")
+    state, handler = realtime_main(
+        [str(cfg), "--replay", dump_dir, "--k_sil", "500.0", "--k_eig", "0.2",
+         "--nl_sil", "--n_monte", "10", "--map_iter", "2",
+         "--median_scale", "40.0"]
+    )
+    assert handler is not None
+    assert handler.cfg.k_sil == 500.0
+    assert handler.cfg.nl_sil is True
+    assert handler.cfg.monte_carlo == 10
+    assert len(state.keyframe_time_indices) >= 1
