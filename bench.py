@@ -73,9 +73,19 @@ def main():
             params, jnp.ones(n, bool), rot, tran, cam
         )
     )
+    base = RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128)
+    cfg0 = sized_config(total, base)
+    # probe binning: the tile-alpha cull drops rect-corner instances, so the
+    # post-cull stream / chunk-grid capacities (what kernels, gathers and
+    # the gradient-reduction sort actually scale with) can be sized snugly
+    from splatam_tpu.core.losses import compute_binned as _cb
+
+    probe = _cb(params, active, rot, tran, cam, cfg0)
     cfg = sized_config(
         total,
-        RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128),
+        base,
+        num_kept=int(probe.num_instances),
+        chunks_used=int(probe.padded_total) // base.chunk,
     )
 
     gt_im = jnp.zeros((3, h, w), jnp.float32)

@@ -8,10 +8,15 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("SPLATAM_TPU_NO_COMPILATION_CACHE", "0") != "1":
+if (
+    _os.environ.get("SPLATAM_TPU_NO_COMPILATION_CACHE", "0") != "1"
+    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")
+):
     # Persistent compilation cache: TPU compiles of the SLAM programs cost
     # 20-120 s each (remote compile helper); the cache turns reruns into
-    # ~3 s loads. Harmless on CPU.
+    # ~3 s loads. CPU runs skip it: XLA:CPU caches machine-specialized AOT
+    # executables whose (de)serialization can hard-abort the process on
+    # feature mismatch, and CPU compiles are cheap anyway.
     try:
         import jax as _jax
 

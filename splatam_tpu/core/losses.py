@@ -13,7 +13,7 @@ rasterization work per optimization step.
 """
 from __future__ import annotations
 
-import math
+import functools
 from functools import partial
 from typing import Dict, NamedTuple
 
@@ -35,47 +35,48 @@ def calc_psnr(img1, img2):
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
 
 
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
-    g = jnp.array(
-        [
-            math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
-            for x in range(window_size)
-        ],
-        dtype=jnp.float32,
+@functools.lru_cache(maxsize=8)
+def _band_matrix(n: int, window_size: int, sigma: float):
+    """(n, n) banded Gaussian-blur matrix: B[i, j] = g[j - i + pad].
+
+    Multiplying by B IS the 1-D 'same'-zero-padded Gaussian conv (band
+    clipped at the edges, no renormalization — torch F.conv2d parity), but
+    runs on the MXU: XLA lowers the depthwise convs this replaces to a
+    VPU/layout path that cost ~0.6 ms per call at SLAM resolution, ~100x
+    the matmul's FLOP-equivalent time. Returns a HOST numpy array (a cached
+    jnp constant would leak tracers across jit scopes); callers embed it.
+    """
+    import numpy as np
+
+    pad = window_size // 2
+    g = np.exp(
+        -((np.arange(window_size) - pad) ** 2) / (2.0 * sigma**2)
     )
-    g = g / g.sum()
-    return g[:, None] @ g[None, :]  # (11, 11)
+    g = (g / g.sum()).astype(np.float32)
+    i = np.arange(n)
+    d = i[None, :] - i[:, None] + pad
+    return np.where(
+        (d >= 0) & (d < window_size), g[np.clip(d, 0, window_size - 1)], 0.0
+    ).astype(np.float32)
 
 
 def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
     """SSIM over (C, H, W) images, torch-conv parity (zero 'same' padding).
 
-    The Gaussian window is separable: two 1-D depthwise convs are ~11x less
-    work than the 11x11 conv (depthwise convs run on the VPU, ~8 ms each at
-    1200x680 — this was half the mapping-step time before splitting)."""
-    c = img1.shape[0]
-    g = _gaussian_window(window_size)[:, window_size // 2]
-    g = g / g.sum()
-    kh = jnp.tile(g[None, None, :, None], (c, 1, 1, 1))  # (C, 1, 11, 1)
-    kw = jnp.tile(g[None, None, None, :], (c, 1, 1, 1))  # (C, 1, 1, 11)
-    pad = window_size // 2
+    The separable Gaussian filter is applied as two banded-matrix matmuls
+    (see _band_matrix) so the 10 filtering passes ride the MXU instead of
+    XLA's depthwise-conv path."""
+    h, w = img1.shape[-2:]
+    bh = jnp.asarray(_band_matrix(h, window_size, 1.5))
+    bw = jnp.asarray(_band_matrix(w, window_size, 1.5))
 
-    # NOTE: batching the 5 filtered quantities into one 15-channel conv was
-    # tried and reverted — the (15, H, W) concat/split materializations cost
-    # more (~5 ms) than the per-call conv overhead they saved.
     def conv(x):
-        y = jax.lax.conv_general_dilated(
-            x[None], kh, (1, 1), [(pad, pad), (0, 0)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST,
+        y = jnp.einsum(
+            "chw,wv->chv", x, bw, precision=jax.lax.Precision.HIGHEST
         )
-        return jax.lax.conv_general_dilated(
-            y, kw, (1, 1), [(0, 0), (pad, pad)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST,
-        )[0]
+        return jnp.einsum(
+            "ih,chv->civ", bh, y, precision=jax.lax.Precision.HIGHEST
+        )
 
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
@@ -189,7 +190,8 @@ def compute_binned(
         pts, jnp.exp(log_scales), normalize(rots), cam, active=active
     )
     return bin_gaussians_csr(
-        jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg
+        jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg,
+        opacities=jax.nn.sigmoid(params["logit_opacities"]),
     )
 
 

@@ -118,7 +118,7 @@ def render_fisher(
     colors = params["rgb_colors"]
 
     proj = preprocess(pts, scales, rots, cam, active=active)
-    binned = bin_gaussians_csr(proj, cam, cfg)
+    binned = bin_gaussians_csr(proj, cam, cfg, opacities=opac)
     attrs = pack_attrs(proj.means2d, proj.conic, opac, proj.depths, colors)
 
     grid_x = (cam.image_width + TILE - 1) // TILE

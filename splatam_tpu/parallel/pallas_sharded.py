@@ -22,14 +22,20 @@ from jax.sharding import PartitionSpec as P
 from splatam_tpu.render.binning import RasterConfig, bin_gaussians_csr
 from splatam_tpu.render.camera import Camera
 from splatam_tpu.render.geometry import TILE, preprocess
-from splatam_tpu.render.pallas_raster import pack_attrs, rasterize_tiles_pallas
+from splatam_tpu.render.pallas_raster import (
+    NFEAT_PAD,
+    pack_attrs,
+    rasterize_tiles_pallas,
+)
 from splatam_tpu.render.render_tiled import RenderAux, RenderOutput
 from splatam_tpu.render.geometry import MEDIAN_DEPTH_INIT
 
 
 def _local_band(proj, active, ty0: int, gyl: int):
     """Clip per-gaussian tile rects to this device's tile-row band and
-    recount tiles_touched; shift rect rows into band-local coordinates."""
+    recount tiles_touched; shift rect rows AND means2d into band-local
+    coordinates (binning's tile-alpha cull compares means2d against tile
+    pixel boxes, so both must live in the same frame)."""
     rm, rx = proj.rect_min, proj.rect_max
     ry0 = jnp.clip(rm[:, 1] - ty0, 0, gyl)
     ry1 = jnp.clip(rx[:, 1] - ty0, 0, gyl)
@@ -37,7 +43,11 @@ def _local_band(proj, active, ty0: int, gyl: int):
     touched = jnp.where(proj.tiles_touched > 0, touched, 0)
     if active is not None:
         touched = jnp.where(active, touched, 0)
+    shift = jnp.stack(
+        [jnp.zeros((), jnp.float32), jnp.float32(ty0 * TILE)]
+    )
     return proj._replace(
+        means2d=proj.means2d - shift[None, :],
         rect_min=jnp.stack([rm[:, 0], ry0], axis=-1),
         rect_max=jnp.stack([rx[:, 0], ry1], axis=-1),
         tiles_touched=touched,
@@ -89,14 +99,10 @@ def rasterize_rows_sharded(
         ty0 = idx * gyl
         local = _local_band(proj, None, ty0, gyl)
         local_ng = jax.tree.map(jax.lax.stop_gradient, local)
-        binned = bin_gaussians_csr(local_ng, cam_band, cfg_local)
+        binned = bin_gaussians_csr(local_ng, cam_band, cfg_local, opacities=o)
 
-        shift = jnp.stack(
-            [jnp.zeros((), jnp.float32), (ty0 * TILE).astype(jnp.float32)]
-        )
-        attrs = pack_attrs(
-            local.means2d - shift[None, :], local.conic, o, local.depths, c
-        )
+        # local.means2d is already band-local (see _local_band)
+        attrs = pack_attrs(local.means2d, local.conic, o, local.depths, c)
         res = rasterize_tiles_pallas(
             attrs, binned, num_tiles_local, grid_x, cfg.chunk, nfeat=nfeat
         )
@@ -106,21 +112,19 @@ def rasterize_rows_sharded(
             bg_full = jnp.concatenate(
                 [bg_full, jnp.zeros(nfeat - bg_full.shape[0], bg_full.dtype)]
             )[:nfeat]
-        color_acc = (
-            res.color[..., :nfeat] + res.final_t[..., None] * bg_full[None, None, :]
-        )
-        depth_acc = jnp.where(res.depth > 0.0, res.depth, MEDIAN_DEPTH_INIT)
 
-        def to_image(tiles_flat, channels=None):
-            if channels is None:
-                img = tiles_flat.reshape(gyl, grid_x, TILE, TILE)
-                return img.transpose(0, 2, 1, 3).reshape(gyl * TILE, grid_x * TILE)[
-                    :, : cam.image_width
-                ]
+        def to_image(tiles_flat, channels):
             img = tiles_flat.reshape(gyl, grid_x, TILE, TILE, channels)
             return img.transpose(4, 0, 2, 1, 3).reshape(
                 channels, gyl * TILE, grid_x * TILE
             )[:, :, : cam.image_width]
+
+        # image layout first, channel slicing after (see PallasRasterOut)
+        color_img = to_image(res.color, NFEAT_PAD)
+        aux_img = to_image(res.aux, 8)
+        final_t = aux_img[1]
+        color_out = color_img[:nfeat] + final_t[None] * bg_full[:, None, None]
+        depth_out = jnp.where(aux_img[0] > 0.0, aux_img[0], MEDIAN_DEPTH_INIT)
 
         radius = proj.radius  # replicated (same on every device)
         overflow = jax.lax.pmax(
@@ -128,9 +132,9 @@ def rasterize_rows_sharded(
         ).astype(bool)
         num_instances = jax.lax.psum(binned.num_instances, axis_name)
         return (
-            to_image(color_acc, nfeat),
-            to_image(depth_acc)[None],
-            to_image(res.final_t),
+            color_out,
+            depth_out[None],
+            final_t,
             radius,
             overflow,
             num_instances,

@@ -150,31 +150,32 @@ def render_prim_sharded(
         )
 
         bg_full = jnp.concatenate([bg, jnp.zeros(nfeat - bg.shape[0], bg.dtype)])
-        color_acc = (
-            res.color[..., :nfeat]
-            + res.final_t[..., None] * bg_full[None, None, :]
-        )
-        depth_acc = jnp.where(res.depth > 0.0, res.depth, MEDIAN_DEPTH_INIT)
 
-        def to_image(tiles_flat, channels=None):
-            if channels is None:
-                img = tiles_flat.reshape(gyl, grid_x, TILE, TILE)
-                return img.transpose(0, 2, 1, 3).reshape(
-                    gyl * TILE, grid_x * TILE
-                )[:, : cam.image_width]
+        def to_image(tiles_flat, channels):
             img = tiles_flat.reshape(gyl, grid_x, TILE, TILE, channels)
             return img.transpose(4, 0, 2, 1, 3).reshape(
                 channels, gyl * TILE, grid_x * TILE
             )[:, :, : cam.image_width]
+
+        # image layout first, channel slicing after (see PallasRasterOut)
+        from splatam_tpu.render.pallas_raster import NFEAT_PAD
+
+        color_img = to_image(res.color, NFEAT_PAD)
+        aux_img = to_image(res.aux, 8)
+        final_t = aux_img[1]
+        color_out = (
+            color_img[:nfeat] + final_t[None] * bg_full[:nfeat, None, None]
+        )
+        depth_out = jnp.where(aux_img[0] > 0.0, aux_img[0], MEDIAN_DEPTH_INIT)
 
         overflow = jax.lax.pmax(
             binned.overflow.astype(jnp.int32), axis_name
         ).astype(bool)
         num_instances = jax.lax.psum(binned.num_instances, axis_name)
         return (
-            to_image(color_acc, nfeat),
-            to_image(depth_acc)[None],
-            to_image(res.final_t),
+            color_out,
+            depth_out[None],
+            final_t,
             proj.radius,  # SHARDED per-gaussian radius
             overflow,
             num_instances,

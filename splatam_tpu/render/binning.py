@@ -27,9 +27,19 @@ from splatam_tpu.render.geometry import TILE, Projected
 class RasterConfig:
     """Static rasterizer capacities (hashable: safe as a jit static arg)."""
 
-    max_instances: int = 2**20  # cap on total (gaussian, tile) pairs
+    max_instances: int = 2**20  # cap on total PRE-cull (gaussian, tile) pairs
     max_per_tile: int = 1024  # cap on instances per tile
     chunk: int = 128  # instances blended per scan step
+    # Cap on the post-cull sorted stream (None = max_instances). The tile
+    # cull drops 10-45% of rect instances, and every post-sort cost (stream
+    # gather, kernel grid, gradient reduction sort) is sized by THIS, so a
+    # snug post-cull capacity buys real throughput. Overflow-flagged.
+    max_stream: int | None = None
+    # Cap on aligned-window chunks (None = max_stream/chunk + num_tiles + 1,
+    # the no-overflow worst case where every tile needs a partial leading
+    # chunk). The backward's reduction sort runs at max_chunks * chunk rows,
+    # so sizing this to a measured `padded_total` is another ~10%.
+    max_chunks: int | None = None
     backend: str = "auto"  # 'jnp' | 'pallas' | 'auto'
     # Unused since the aligned-window layout (chunk capacity is now exactly
     # max_instances/chunk + num_tiles and cannot overflow); kept so configs
@@ -77,9 +87,9 @@ class BinnedCSR(NamedTuple):
     chunk_lim: jax.Array  # (NC,) int32 packed: skip << 16 | lim; valid rows
     # of the window are [skip, lim)
     counts: jax.Array  # (T,) int32 instances per tile
-    gid_hist: jax.Array  # (N,) int32 = tiles_touched: exact per-gaussian
-    # valid-instance count, giving the gradient reduction its segment
-    # boundaries analytically (no scatter-add histogram)
+    gid_hist: jax.Array  # (N,) int32 exact per-gaussian SURVIVING instance
+    # count (tiles_touched minus tile-cull drops), giving the gradient
+    # reduction its segment boundaries analytically (no scatter-add)
     num_instances: jax.Array  # () int32 total instances emitted
     padded_total: jax.Array  # () int32 windowed stream length (used chunks)
     overflow: jax.Array  # () bool: instance buffer overflowed
@@ -89,27 +99,68 @@ def sized_config(
     num_instances: int,
     base: RasterConfig = RasterConfig(),
     margin: float = 1.1,
+    num_kept: int | None = None,
+    chunks_used: int | None = None,
 ) -> RasterConfig:
-    """Pre-size ``max_instances`` from a measured (gaussian, tile) pair count.
+    """Pre-size capacities from measured instance counts.
 
-    Sort, gather, and kernel-grid costs all scale with the instance-stream
-    capacity, so snug buffers directly buy throughput (~15% at SLAM scale vs
-    a 2^20 default at 780k instances). Like the SLAM driver's ``map_capacity``
-    pre-sizing knob, this is an optimization only — the overflow flag still
-    triggers a bigger re-run if the scene outgrows the estimate.
+    ``num_instances`` (rect-based pairs, `count_instances`) sizes the
+    pre-cull expansion buffer. ``num_kept`` (a probe binning's
+    `num_instances`) sizes the post-cull stream, and ``chunks_used`` (probe
+    `padded_total / chunk`) the aligned-window grid — sort, gather,
+    kernel-grid and gradient-reduction costs all scale with THOSE, so snug
+    post-cull capacities directly buy throughput. Like the SLAM driver's
+    ``map_capacity`` pre-sizing knob, this is an optimization only — the
+    overflow flag still triggers a bigger re-run if the scene outgrows the
+    estimate.
     """
-    k = int(num_instances * margin) + base.chunk
-    k = ((k + base.chunk - 1) // base.chunk) * base.chunk
-    return dataclasses.replace(base, max_instances=k)
+
+    def rup(v):
+        v = int(v * margin) + base.chunk
+        return ((v + base.chunk - 1) // base.chunk) * base.chunk
+
+    return dataclasses.replace(
+        base,
+        max_instances=rup(num_instances),
+        max_stream=None if num_kept is None else rup(num_kept),
+        max_chunks=None if chunks_used is None else int(chunks_used * margin) + 2,
+    )
 
 
-def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
-    """Instance expansion + (tile, depth) sort shared by both layouts.
+# Safety slack on the tile-cull bound: the kernels recompute alpha with
+# their own (differently fused) f32 arithmetic, so the analytic bound is
+# backed off by this much in power units before dropping an instance.
+CULL_EPS = 1e-3
+
+
+def _expand_instances(
+    proj: Projected,
+    cam: Camera,
+    cfg: RasterConfig,
+    opacities: jax.Array | None = None,
+):
+    """Instance expansion + per-tile alpha cull + (tile, depth) sort.
 
     Replaces cub InclusiveSum + duplicateWithKeys + radix sort
     (`rasterizer_impl.cu:33-339`). jnp.repeat is the fast path on TPU —
     jnp.searchsorted's default 'scan' method lowers to a while-loop that
     costs ~300ms at this size.
+
+    Unlike the reference (rect-only binning), each expanded (gaussian, tile)
+    instance is also tested against an exact upper bound on the alpha the
+    gaussian can reach anywhere in the tile:
+
+        alpha(p) = op * exp(-q(p)),  q(p) = 0.5 d^T C d
+                 <= op * exp(-0.5 * lam_min(C) * dist(mean, tile-box)^2)
+
+    Instances whose bound falls below the kernels' ALPHA_MIN keep-threshold
+    contribute exactly zero in both the jnp and Pallas paths, so dropping
+    them here changes no output while cutting the instance stream ~25-45%
+    (corner tiles of the bounding rect, low-opacity tails) — and every
+    downstream cost (sort, stream gather, kernel grid, gradient reduction)
+    scales with that stream. ``opacities=None`` assumes op=1 (distance-only
+    cull). Returns per-gaussian SURVIVING instance counts alongside the
+    sorted stream.
     """
     n = proj.tiles_touched.shape[0]
     grid_x = (cam.image_width + TILE - 1) // TILE
@@ -131,9 +182,28 @@ def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
     in_use = slot < total
     gid_safe = jnp.clip(jnp.cumsum(ind) - 1, 0, n - 1)
 
-    # One ROW gather instead of six column gathers: TPU gathers whole rows
-    # ~30x faster than repeated single-column gathers at this size. Depth
-    # rides along bitcast to int32 (IEEE f32 order-preserving for z > 0).
+    # Per-gaussian squared-distance cull threshold: drop an instance when
+    # dist(mean2d, tile pixel-center box)^2 > thr2. lam_min is the smallest
+    # eigenvalue of the conic (PD by the preprocess low-pass filter).
+    from splatam_tpu.render.geometry import ALPHA_MIN
+
+    ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    lam_min = jnp.maximum(
+        0.5 * (ca + cc) - jnp.sqrt(jnp.square(0.5 * (ca - cc)) + cb * cb),
+        1e-12,
+    )
+    if opacities is None:
+        log_op = jnp.zeros_like(lam_min)
+    else:
+        op = jax.lax.stop_gradient(opacities).reshape(-1)
+        log_op = jnp.log(jnp.maximum(op, 1e-30))
+    headroom = log_op - jnp.log(ALPHA_MIN) + CULL_EPS
+    thr2 = jnp.where(headroom > 0.0, 2.0 * headroom / lam_min, -1.0)
+
+    # One ROW gather instead of repeated column gathers: TPU gathers whole
+    # rows ~30x faster than per-column at this size. Depth and the f32 cull
+    # fields ride along bitcast to int32 (IEEE order irrelevant: bitcast
+    # back before use; f32 depth order-preserving for z > 0).
     gtable = jnp.stack(
         [
             starts,
@@ -141,20 +211,47 @@ def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
             proj.rect_min[:, 1],
             jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
             jax.lax.bitcast_convert_type(proj.depths, jnp.int32),
+            jax.lax.bitcast_convert_type(proj.means2d[:, 0], jnp.int32),
+            jax.lax.bitcast_convert_type(proj.means2d[:, 1], jnp.int32),
+            jax.lax.bitcast_convert_type(thr2, jnp.int32),
         ],
         axis=-1,
-    )  # (N, 5) int32
-    grow = gtable[gid_safe]  # (K, 5)
+    )  # (N, 8) int32
+    grow = gtable[gid_safe]  # (K, 8)
     local = slot - grow[:, 0]
     rect_w_safe = grow[:, 3]
     ty = grow[:, 2] + local // rect_w_safe
     tx = grow[:, 1] + local % rect_w_safe
-    tile_id = jnp.where(in_use, ty * grid_x + tx, num_tiles)
+
+    # distance from the mean to the tile's pixel-center box [t*16, t*16+15]
+    mx = jax.lax.bitcast_convert_type(grow[:, 5], jnp.float32)
+    my = jax.lax.bitcast_convert_type(grow[:, 6], jnp.float32)
+    gthr2 = jax.lax.bitcast_convert_type(grow[:, 7], jnp.float32)
+    x_lo = (tx * TILE).astype(jnp.float32)
+    y_lo = (ty * TILE).astype(jnp.float32)
+    dx = jnp.clip(mx, x_lo, x_lo + (TILE - 1)) - mx
+    dy = jnp.clip(my, y_lo, y_lo + (TILE - 1)) - my
+    dropped = dx * dx + dy * dy > gthr2
+    keep = in_use & ~dropped
+
+    tile_id = jnp.where(keep, ty * grid_x + tx, num_tiles)
+    total_kept = jnp.sum(keep.astype(jnp.int32))
+
+    # surviving instances per gaussian = tiles_touched - dropped-in-group,
+    # via cumsum over the (gid-major contiguous) pre-sort slot order
+    dcum = jnp.cumsum((dropped & in_use).astype(jnp.int32))
+    seg_end = jnp.take(dcum, jnp.clip(offsets - 1, 0, k - 1))
+    seg_start = jnp.where(
+        starts > 0, jnp.take(dcum, jnp.clip(starts - 1, 0, k - 1)), 0
+    )
+    kept_hist = jnp.where(
+        tiles_touched > 0, tiles_touched - (seg_end - seg_start), 0
+    ).astype(jnp.int32)
 
     # Sort by (tile, depth); stable => ties keep gaussian/rect emission order,
     # matching the radix sort of `rasterizer_impl.cu:301-309`.
     depth_key = jnp.where(
-        in_use,
+        keep,
         jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32),
         jnp.inf,
     )
@@ -163,19 +260,26 @@ def _expand_instances(proj: Projected, cam: Camera, cfg: RasterConfig):
         num_keys=2,
         is_stable=True,
     )
-    return sorted_tile, sorted_gid, tile_id, total, num_tiles
+    return sorted_tile, sorted_gid, tile_id, total, num_tiles, total_kept, kept_hist
 
 
-def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> BinnedCSR:
+def bin_gaussians_csr(
+    proj: Projected,
+    cam: Camera,
+    cfg: RasterConfig,
+    opacities: jax.Array | None = None,
+) -> BinnedCSR:
     """Chunk-aligned-window binning for the Pallas flat-chunk-grid kernels."""
     chunk = cfg.chunk
-    sorted_tile, sorted_gid, tile_id, total, num_tiles = _expand_instances(
-        proj, cam, cfg
+    sorted_tile, sorted_gid, tile_id, total, num_tiles, total_kept, kept_hist = (
+        _expand_instances(proj, cam, cfg, opacities)
     )
     k = cfg.max_instances
-    # every non-empty tile adds at most one partially-foreign leading chunk,
-    # so this static capacity can never overflow
-    nc = k // chunk + num_tiles + 1
+    ks = cfg.max_stream or k  # post-cull stream capacity
+    # default chunk capacity = the no-overflow worst case (every non-empty
+    # tile adds at most one partially-foreign leading chunk); a measured
+    # max_chunks shrinks the kernel grid and the reduction-sort length
+    nc = cfg.max_chunks or (ks // chunk + num_tiles + 1)
 
     # Per-tile ranges from the SORTED keys: a 3k-query searchsorted over the
     # sorted 1M array is cheap (binary-search scan on few queries), unlike a
@@ -185,10 +289,14 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     counts = tile_start[1:] - tile_start[:-1]
     starts = tile_start[:-1]
     # window base = segment start rounded DOWN to a chunk boundary; the
-    # first skip0 rows of the first window belong to the previous tile
+    # first skip0 rows of the first window belong to the previous tile.
+    # EMPTY tiles still get one zero-lim chunk: its `first` step initializes
+    # the tile's output blocks (color 0, T 1) so the caller needs no
+    # `counts > 0` select over the outputs — those selects on the 8-lane
+    # (T, 256, 8) layout cost more than the extra no-op grid steps.
     skip0 = starts % chunk
     aligned_blk = starts // chunk
-    nchunks = jnp.where(counts > 0, (counts + skip0 + chunk - 1) // chunk, 0)
+    nchunks = jnp.where(counts > 0, (counts + skip0 + chunk - 1) // chunk, 1)
     chunk_off = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)])
     used = chunk_off[-1]
     padded_total = used * chunk
@@ -200,35 +308,45 @@ def bin_gaussians_csr(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned
     # tail chunks (>= used) repeat the last tile id; lim = 0 there, so the
     # kernel skips them.
     in_use = c_idx < used
+    nonempty = counts[chunk_tile] > 0
     local_chunk = c_idx - chunk_off[chunk_tile]
-    blk = jnp.clip(aligned_blk[chunk_tile] + local_chunk, 0, k // chunk)
-    skip = jnp.where(in_use & (local_chunk == 0), skip0[chunk_tile], 0)
+    blk = jnp.clip(aligned_blk[chunk_tile] + local_chunk, 0, ks // chunk)
+    skip = jnp.where(
+        in_use & nonempty & (local_chunk == 0), skip0[chunk_tile], 0
+    )
     lim = jnp.clip(
         counts[chunk_tile] + skip0[chunk_tile] - local_chunk * chunk, 0, chunk
     )
-    lim = jnp.where(in_use, lim, 0)
+    lim = jnp.where(in_use & nonempty, lim, 0)
     prev_tile = jnp.concatenate([jnp.full(1, -1, jnp.int32), chunk_tile[:-1]])
     first = ((chunk_tile != prev_tile) & in_use).astype(jnp.int32)
     chunk_meta = (chunk_tile << 1) | first
     chunk_lim = (skip.astype(jnp.int32) << 16) | lim.astype(jnp.int32)
-    gid_hist = proj.tiles_touched.astype(jnp.int32)
 
     return BinnedCSR(
-        sorted_gid=sorted_gid,
+        sorted_gid=sorted_gid[:ks],
         chunk_blk=blk,
         chunk_meta=chunk_meta,
         chunk_lim=chunk_lim,
         counts=counts,
-        gid_hist=gid_hist,
-        num_instances=total,
+        gid_hist=kept_hist,
+        num_instances=total_kept,
         padded_total=padded_total,
-        overflow=total > k,
+        # max_instances bounds the PRE-cull expansion slots (rect-based,
+        # count_instances' metric); the snugger stream/chunk capacities are
+        # overflow-checked on what actually survived
+        overflow=(total > k) | (total_kept > ks) | (used > nc),
     )
 
 
-def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned:
-    sorted_tile, sorted_gid, tile_id, total, num_tiles = _expand_instances(
-        proj, cam, cfg
+def bin_gaussians(
+    proj: Projected,
+    cam: Camera,
+    cfg: RasterConfig,
+    opacities: jax.Array | None = None,
+) -> Binned:
+    sorted_tile, sorted_gid, tile_id, total, num_tiles, total_kept, _ = (
+        _expand_instances(proj, cam, cfg, opacities)
     )
     k = cfg.max_instances
 
@@ -252,5 +370,5 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binned:
 
     overflow = (total > k) | (counts.max() > cfg.max_per_tile)
     return Binned(
-        bucket=bucket, counts=counts, num_instances=total, overflow=overflow
+        bucket=bucket, counts=counts, num_instances=total_kept, overflow=overflow
     )

@@ -119,6 +119,167 @@ def _pixel_coords(t, grid_x: int):
     return px, py
 
 
+# tile-local pixel-center offset: coordinates are centered on the tile so
+# every operand of the MXU quadratic form stays O(tile size) — global pixel
+# coords (~1200) squared would eat the bf16-split mantissa (see _power_mxu)
+_HALF = (TILE - 1) / 2.0
+
+
+def _split3(x: jax.Array, axis: int) -> jax.Array:
+    """f32 -> 3 stacked bf16 terms along ``axis`` (~24 mantissa bits).
+
+    bf16 x bf16 products are EXACT in f32 (8+8 mantissa bits), so a matmul
+    of two 3-way splits with f32 accumulation reproduces the f32 x f32
+    product to accumulation-rounding accuracy.
+    """
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([x1, x2, x3], axis=axis)
+
+
+def _split2(x: jax.Array, axis: int) -> jax.Array:
+    """f32 -> 2 stacked bf16 terms along ``axis`` (~16 mantissa bits)."""
+    x1 = x.astype(jnp.bfloat16)
+    x2 = (x - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([x1, x2], axis=axis)
+
+
+def _local_pixels():
+    """Tile-local pixel-center columns (NPIX, 1): pxl, pyl in [-7.5, 7.5]."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
+    pxl = (p % TILE).astype(jnp.float32) - _HALF
+    pyl = (p // TILE).astype(jnp.float32) - _HALF
+    return pxl, pyl
+
+
+def _np_local_pixels():
+    import numpy as np
+
+    p = np.arange(NPIX)
+    return (p % TILE - _HALF).astype(np.float32), (
+        p // TILE - _HALF
+    ).astype(np.float32)
+
+
+def _np_split3(x):
+    import numpy as np
+    from jax import numpy as _  # noqa: F401
+
+    import ml_dtypes
+
+    x1 = x.astype(ml_dtypes.bfloat16)
+    r1 = x - x1.astype(np.float32)
+    x2 = r1.astype(ml_dtypes.bfloat16)
+    x3 = (r1 - x2.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return x1, x2, x3
+
+
+@functools.lru_cache(maxsize=1)
+def _phi_pow_host():
+    """(NPIX, 27) bf16 constant for the in-kernel power matmul.
+
+    Columns: the quadratic pixel basis [pxl^2, pxl*pyl, pyl^2] split into 3
+    bf16 mantissa terms P1/P2/P3 and laid out [P1 P1 P1 P2 P2 P2 P3 P3 P3],
+    so that against a rhs tiled [Q1;Q2;Q3]x3 the contraction covers all 9
+    split cross-products. Passed to the kernels as a broadcast INPUT — an
+    in-kernel construction costs Mosaic concat relayouts every grid step.
+    """
+    import numpy as np
+
+    pxl, pyl = _np_local_pixels()
+    quad = np.stack([pxl * pxl, pxl * pyl, pyl * pyl], axis=1)  # (NPIX, 3)
+    p1, p2, p3 = _np_split3(quad)
+    return np.concatenate([p1, p1, p1, p2, p2, p2, p3, p3, p3], axis=1)
+
+
+@functools.lru_cache(maxsize=1)
+def _phi_mom_host():
+    """(NPIX, 24) bf16 constant for the backward's moment matmul.
+
+    Columns: the full monomial basis [1, pxl, pyl, pxl^2, pxl*pyl, pyl^2]
+    split into 3 bf16 terms, each block zero-padded from 6 to 8 columns so
+    the (24, 2*chunk) matmul output can be reduced with 8-sublane-aligned
+    slice adds (no Mosaic relayout).
+    """
+    import numpy as np
+
+    pxl, pyl = _np_local_pixels()
+    basis = np.stack(
+        [np.ones(NPIX, np.float32), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
+        axis=1,
+    )  # (NPIX, 6)
+    b1, b2, b3 = _np_split3(basis)
+    z = np.zeros((NPIX, 2), b1.dtype)
+    return np.concatenate([b1, z, b2, z, b3, z], axis=1)
+
+
+def _chunk_alpha_mxu(blk, phi27, t, skip, lim, chunk, grid_x):
+    """Per-(pixel, gaussian) alpha for one (ROWS, chunk) window — MXU form.
+
+    The exponent is a quadratic in pixel coordinates, so the whole
+    (NPIX, chunk) `power` array is ONE matmul against the constant monomial
+    basis: power[p, j] = phi(p) . q_j, with per-gaussian coefficients q_j
+    read off the conic/mean rows in tile-LOCAL coordinates (operands stay
+    O(tile), keeping the bf16-split product accurate to ~1e-5). This moves
+    ~40% of the kernels' per-pair VPU arithmetic onto the otherwise-idle
+    MXU — the TPU answer to the CUDA kernel's per-thread FMA chain
+    (`forward.cu:336-341`).
+
+    Returns (alpha, raw, epow, xl, yl, keep) — xl/yl are the per-instance
+    (1, chunk) tile-local mean offsets the backward's moment recombination
+    uses in place of per-pair dx/dy.
+    """
+    x = blk[ROW_X : ROW_X + 1, :]
+    y = blk[ROW_Y : ROW_Y + 1, :]
+    ca = blk[ROW_CA : ROW_CA + 1, :]
+    cb = blk[ROW_CB : ROW_CB + 1, :]
+    cc = blk[ROW_CC : ROW_CC + 1, :]
+    op = blk[ROW_OP : ROW_OP + 1, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    xl = x - ((t % grid_x) * TILE + _HALF).astype(jnp.float32)
+    yl = y - ((t // grid_x) * TILE + _HALF).astype(jnp.float32)
+    # power = -0.5 ca dx^2 - cb dx dy - 0.5 cc dy^2 with dx = xl - pxl,
+    # expanded in the monomial basis [1, pxl, pyl, pxl^2, pxl pyl, pyl^2].
+    # The QUADRATIC part goes to the MXU; the constant and linear parts are
+    # evaluated per-pair on the VPU, because their coefficients reach
+    # O(1000) for distant/anisotropic instances and MXU partial-sum
+    # rounding scales with the largest TERM (1e-3 power error measured on
+    # chip) while per-pair f32 incurs one rounding each — the same
+    # association the jnp oracle and the CUDA reference use.
+    q0 = -0.5 * (ca * xl * xl + cc * yl * yl) - cb * xl * yl
+    q1 = ca * xl + cb * yl
+    q2 = cc * yl + cb * xl
+    qq = jnp.concatenate([-0.5 * ca, -cb, -0.5 * cc], axis=0)  # (3, chunk)
+    # full split cross-product along the CONTRACTED dim: K = 3 basis x 3
+    # lhs-splits x 3 rhs-splits = 27 (one MXU pass; K pads to 128 anyway).
+    # phi27 is the constant [P1 P1 P1 P2 P2 P2 P3 P3 P3] basis INPUT
+    # (_phi_pow_host); the rhs tiles its split stack 3x to pair with it.
+    q27 = jnp.tile(_split3(qq, axis=0), (3, 1))  # (27, chunk) = [Q123 x3]
+    quad = jax.lax.dot_general(
+        phi27,
+        q27,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    pxl, pyl = _local_pixels()
+    power_raw = (quad + q0) + (q1 * pxl + q2 * pyl)
+    # clamp (not drop) positive power — see reference.py: identical for PD
+    # conics, robust to the matmul's ~1e-5 noise at near-mean pixels
+    epow = jnp.exp(jnp.minimum(power_raw, 0.0))
+    raw = op * epow
+    alpha = jnp.minimum(ALPHA_CAP, raw)
+    keep = (alpha >= ALPHA_MIN) & (row >= skip) & (row < lim)
+    alpha = jnp.where(keep, alpha, 0.0)
+    # positions where the clamp engaged get no position/conic gradient
+    # (mirrors XLA-AD of jnp.minimum(power, 0))
+    grad_ok = power_raw <= 0.0
+    return alpha, raw, epow, xl, yl, keep, grad_ok
+
+
 def _chunk_alpha(blk, px, py, skip, lim, chunk):
     """Per-(pixel, gaussian) alpha for one (16, chunk) instance window.
 
@@ -135,13 +296,15 @@ def _chunk_alpha(blk, px, py, skip, lim, chunk):
 
     dx = x - px  # (NPIX, C)
     dy = y - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    epow = jnp.exp(power)
+    power_raw = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # clamp (not drop) positive power — see reference.py
+    epow = jnp.exp(jnp.minimum(power_raw, 0.0))
     raw = op * epow
     alpha = jnp.minimum(ALPHA_CAP, raw)
-    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (row >= skip) & (row < lim)
+    keep = (alpha >= ALPHA_MIN) & (row >= skip) & (row < lim)
     alpha = jnp.where(keep, alpha, 0.0)
-    return alpha, raw, epow, dx, dy, keep
+    grad_ok = power_raw <= 0.0
+    return alpha, raw, epow, dx, dy, keep, grad_ok
 
 
 def _meta(meta_ref, lim_ref, c):
@@ -166,6 +329,7 @@ def _fwd_kernel(
     lim_ref,  # scalar-prefetch (NC,) int32 packed skip<<16|lim
     blk_ref,  # scalar-prefetch (NC,) int32 stream block index per chunk
     inst_ref,  # (ROWS, chunk) VMEM window of the sorted stream
+    phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
     color_ref,  # (1, NPIX, NFEAT_PAD) block of the owning tile
     aux_ref,  # (1, NPIX, 8): 0=median depth, 1=final T
     t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance
@@ -191,9 +355,10 @@ def _fwd_kernel(
     # per-block __syncthreads_count done-ballot (`forward.cu:314-328`)
     @pl.when((lim > skip) & (alive_sc[0] == 1))
     def _():
-        px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
-        alpha, _, _, _, _, _ = _chunk_alpha(blk, px, py, skip, lim, chunk)
+        alpha, _, _, _, _, _, _ = _chunk_alpha_mxu(
+            blk, phi_ref[:], t, skip, lim, chunk, grid_x
+        )
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
@@ -232,6 +397,8 @@ def _bwd_kernel(
     lim_ref,
     blk_ref,
     inst_ref,  # (ROWS, chunk)
+    phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
+    phim_ref,  # (NPIX, 24) bf16 constant moment basis (_phi_mom_host)
     gcolor_ref,  # (1, NPIX, NFEAT_PAD) upstream dL/d color accumulator
     gaux_ref,  # (1, NPIX, 8): 0=dL/d median depth, 1=dL/d final T
     rescolor_ref,  # (1, NPIX, NFEAT_PAD) forward color accumulator
@@ -266,9 +433,10 @@ def _bwd_kernel(
 
     @pl.when(run)
     def _():
-        px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
-        alpha, raw, epow, dx, dy, keep = _chunk_alpha(blk, px, py, skip, lim, chunk)
+        alpha, raw, epow, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
+            blk, phi_ref[:], t, skip, lim, chunk, grid_x
+        )
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
@@ -305,31 +473,60 @@ def _bwd_kernel(
             0.0,
         )
         # clamp gates: d alpha/d raw = 1 only below the 0.99 cap; `keep`
-        # excludes masked contributors entirely
+        # excludes masked contributors entirely; grad_ok gates the power
+        # clamp (no position/conic gradient where power was clamped to 0)
         unclamped = keep & (raw < ALPHA_CAP)
-        dop_da = jnp.where(unclamped, epow, 0.0)
-        dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
+        dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
+        dpower = jnp.where(unclamped & grad_ok, dalpha * alpha, 0.0)
+        crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+
+        # The five position/conic gradient rows are pixel sums of
+        # dpower * poly(pxl, pyl), so ONE moment matmul against the
+        # constant monomial basis yields S_b[j] = sum_p phi_b(p) dpower[p,j]
+        # and each row is a per-instance recombination — replacing five
+        # (NPIX, chunk) reductions (and the per-pair dx/dy chains the CUDA
+        # backward runs per thread, `backward.cu:586-748`) with MXU work.
+        # contraction is over pixels, so splits ride the FREE dims and the
+        # output is all 3x2 cross blocks; blocks are 8-sublane / chunk-lane
+        # aligned, so the reduction is plain slice adds (no relayout). The
+        # rhs uses a 2-way split (~16 mantissa bits — plenty against the
+        # 2e-2 gradient agreement the two f32 formulations have anyway).
+        mom24 = jax.lax.dot_general(
+            phim_ref[:],  # (NPIX, 24) constant
+            _split2(dpower, axis=1),  # (NPIX, 2*chunk)
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )  # (24, 2*chunk)
+        mom = (
+            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
+            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
+            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
+        )  # (8, chunk); rows 6-7 are basis padding (zero)
+        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
 
         ca = blk[ROW_CA : ROW_CA + 1, :]
         cb = blk[ROW_CB : ROW_CB + 1, :]
         cc = blk[ROW_CC : ROW_CC + 1, :]
-        ddx = dpower * -(ca * dx + cb * dy)
-        ddy = dpower * -(cc * dy + cb * dx)
-        crossing = (t_before > 0.5) & (t_cum < 0.5) & live
-
-        def rsum(v):  # reduce over pixels -> (1, C)
-            return jnp.sum(v, axis=0, keepdims=True)
+        # sum_p dpower * dx = xl * s0 - sx (dx = xl - pxl), etc.
+        sdx = xl * s0 - sx
+        sdy = yl * s0 - sy
+        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
+        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
+        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
 
         # rows in instance-stream order: X, Y, CA, CB, CC, OP, DEPTH, KEY
         grows = jnp.concatenate(
             [
-                rsum(ddx),
-                rsum(ddy),
-                rsum(dpower * (-0.5 * dx * dx)),
-                rsum(dpower * (-dx * dy)),
-                rsum(dpower * (-0.5 * dy * dy)),
-                rsum(dalpha * dop_da),
-                rsum(jnp.where(crossing, g_depth, 0.0)),
+                -(ca * sdx + cb * sdy),
+                -(cc * sdy + cb * sdx),
+                -0.5 * sdxx,
+                -sdxy,
+                -0.5 * sdyy,
+                jnp.sum(dop_int, axis=0, keepdims=True),
+                jnp.sum(
+                    jnp.where(crossing, g_depth, 0.0), axis=0, keepdims=True
+                ),
                 _row_key(blk, skip, lim, run, chunk),
             ],
             axis=0,
@@ -404,7 +601,9 @@ def _fisher_kernel(
     def _():
         px, py = _pixel_coords(t, grid_x)
         blk = inst_ref[:]
-        alpha, raw, epow, dx, dy, keep = _chunk_alpha(blk, px, py, skip, lim, chunk)
+        alpha, raw, epow, dx, dy, keep, grad_ok = _chunk_alpha(
+            blk, px, py, skip, lim, chunk
+        )
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
@@ -433,7 +632,7 @@ def _fisher_kernel(
         dalpha = jnp.where(live, t_before * gc - suffix / one_minus, 0.0)
         unclamped = keep & (raw < ALPHA_CAP)
         dop = jnp.where(unclamped, dalpha * epow, 0.0)
-        dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
+        dpower = jnp.where(unclamped & grad_ok, dalpha * alpha, 0.0)
 
         ca = blk[ROW_CA : ROW_CA + 1, :]
         cb = blk[ROW_CB : ROW_CB + 1, :]
@@ -486,6 +685,11 @@ def _stream_spec(chunk):
     return pl.BlockSpec((ROWS, chunk), lambda c, meta, lim, blk: (0, blk[c]))
 
 
+def _const_spec(cols):
+    """Broadcast input: the same (NPIX, cols) block at every grid step."""
+    return pl.BlockSpec((NPIX, cols), lambda c, meta, lim, blk: (0, 0))
+
+
 def _out_chunk_spec(rows, chunk):
     return pl.BlockSpec((rows, chunk), lambda c, meta, lim, blk: (0, c))
 
@@ -497,7 +701,7 @@ def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nc,),
-            in_specs=[_stream_spec(chunk)],
+            in_specs=[_stream_spec(chunk), _const_spec(27)],
             out_specs=[
                 pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
                 pl.BlockSpec((1, NPIX, 8), _tile_of),
@@ -521,6 +725,8 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret):
             grid=(nc,),
             in_specs=[
                 _stream_spec(chunk),
+                _const_spec(27),
+                _const_spec(24),
                 pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
                 pl.BlockSpec((1, NPIX, 8), _tile_of),
                 pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
@@ -553,6 +759,14 @@ def _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret):
         out_shape=[jax.ShapeDtypeStruct((FROWS, nc * chunk), jnp.float32)],
         interpret=interpret,
     )
+
+
+def _phi_pow() -> jax.Array:
+    return jnp.asarray(_phi_pow_host())
+
+
+def _phi_mom() -> jax.Array:
+    return jnp.asarray(_phi_mom_host())
 
 
 def _build_stream(attrs: jax.Array, sorted_gid: jax.Array, chunk: int) -> jax.Array:
@@ -630,17 +844,20 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret):
     @jax.custom_vjp
     def raster(attrs, hist, sorted_gid, meta, lim, blk):
         stream = _build_stream(attrs, sorted_gid, chunk)
-        return fwd_call(meta, lim, blk, stream)
+        return fwd_call(meta, lim, blk, stream, _phi_pow())
 
     def raster_fwd(attrs, hist, sorted_gid, meta, lim, blk):
         stream = _build_stream(attrs, sorted_gid, chunk)
-        color, aux = fwd_call(meta, lim, blk, stream)
+        color, aux = fwd_call(meta, lim, blk, stream, _phi_pow())
         return (color, aux), (stream, hist, meta, lim, blk, color, aux)
 
     def raster_bwd(res, g):
         stream, hist, meta, lim, blk, color, aux = res
         g_color, g_aux = g
-        (ginst,) = bwd_call(meta, lim, blk, stream, g_color, g_aux, color, aux)
+        (ginst,) = bwd_call(
+            meta, lim, blk, stream, _phi_pow(), _phi_mom(),
+            g_color, g_aux, color, aux,
+        )
         per_gauss = segment_reduce_by_key(
             ginst, ROW_GID, hist, value_rows
         )  # (ROWS, N)
@@ -651,9 +868,17 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret):
 
 
 class PallasRasterOut(NamedTuple):
+    """Raw per-tile kernel outputs.
+
+    Callers should convert these to image layout BEFORE slicing channels:
+    the (T, NPIX, 8) blocks put the 8 channels in the minor (lane) dim,
+    where per-channel slices/pads cost ~1 ms each at SLAM scale, while the
+    same slices on (8, H, W) images are free.
+    """
+
     color: jax.Array  # (T, NPIX, NFEAT_PAD) accumulated (no background)
-    depth: jax.Array  # (T, NPIX) median depth accumulator (0 where unset)
-    final_t: jax.Array  # (T, NPIX)
+    aux: jax.Array  # (T, NPIX, 8): 0 = median-depth accum (0 where unset),
+    # 1 = final transmittance, rest zero
 
 
 def pack_attrs(
@@ -717,7 +942,8 @@ def fisher_moments(
     fish_call = _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret)
     stream = _build_stream(attrs, binned.sorted_gid, chunk)
     color, aux = fwd_call(
-        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream
+        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
+        _phi_pow(),
     )
     g_color = jnp.broadcast_to(seed[None, None, :], color.shape)
     (per_inst,) = fish_call(
@@ -748,10 +974,7 @@ def rasterize_tiles_pallas(
         attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
         binned.chunk_lim, binned.chunk_blk,
     )
-
-    # tiles with no instances are never visited by the kernel
-    has = binned.counts > 0
-    color = jnp.where(has[:, None, None], color, 0.0)
-    depth = jnp.where(has[:, None], aux[..., 0], 0.0)
-    final_t = jnp.where(has[:, None], aux[..., 1], 1.0)
-    return PallasRasterOut(color=color, depth=depth, final_t=final_t)
+    # every tile (including empty ones) gets an initializing grid step
+    # (binning emits a zero-lim chunk per empty tile), so the outputs are
+    # fully defined — no counts>0 select needed here
+    return PallasRasterOut(color=color, aux=aux)

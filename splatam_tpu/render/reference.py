@@ -85,7 +85,15 @@ def rasterize_dense(
     a = s_conic[:, 0][:, None, None]
     b = s_conic[:, 1][:, None, None]
     c = s_conic[:, 2][:, None, None]
-    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    # power is clamped to <= 0 rather than power>0 dropped: for the PD
+    # conics the low-pass filter guarantees, power > 0 only ever arises from
+    # float rounding at near-mean pixels (where the CUDA reference's
+    # `forward.cu:338` guard computes power ~ -ulp and KEEPS alpha ~ op), so
+    # the clamp matches the reference's effective behavior while being
+    # robust to the Pallas kernels' matmul-evaluated power (~1e-5 noise).
+    power = jnp.minimum(
+        -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy, 0.0
+    )
 
     in_rect = (
         (tile_x[None] >= s_rect_min[:, 0][:, None, None])
@@ -95,9 +103,7 @@ def rasterize_dense(
     )
 
     alpha = jnp.minimum(ALPHA_CAP, s_opacity[:, None, None] * jnp.exp(power))
-    contributes = (
-        s_valid[:, None, None] & in_rect & (power <= 0.0) & (alpha >= ALPHA_MIN)
-    )
+    contributes = s_valid[:, None, None] & in_rect & (alpha >= ALPHA_MIN)
     alpha = jnp.where(contributes, alpha, 0.0)
 
     # Transmittance before/after each contribution (front-to-back).

@@ -125,13 +125,13 @@ def rasterize_tiled(
                 "(use backend='jnp' for smaller chunks)"
             )
         binned_csr = binned if binned is not None else bin_gaussians_csr(
-            proj_ng, cam, cfg
+            proj_ng, cam, cfg, opacities=opacities
         )
         return _rasterize_pallas(
             proj, binned_csr, blend_xy, colors, opacities, cam, cfg,
             grid_x, grid_y,
         )
-    binned = bin_gaussians(proj_ng, cam, cfg)
+    binned = bin_gaussians(proj_ng, cam, cfg, opacities=opacities)
 
     def chunk_body(carry, idx_chunk):
         t_run, dead, color_acc, depth_acc = carry
@@ -149,10 +149,14 @@ def rasterize_tiled(
         a = con[..., 0][:, None, :]
         b = con[..., 1][:, None, :]
         c = con[..., 2][:, None, :]
-        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        # power clamped to <= 0 (not dropped when > 0): see reference.py —
+        # identical for PD conics, robust to matmul-evaluated power noise
+        power = jnp.minimum(
+            -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy, 0.0
+        )
         alpha = jnp.minimum(ALPHA_CAP, op[:, None, :] * jnp.exp(power))
         alpha = jnp.where(
-            (power > 0.0) | (alpha < ALPHA_MIN) | empty[:, None, :], 0.0, alpha
+            (alpha < ALPHA_MIN) | empty[:, None, :], 0.0, alpha
         )
 
         one_minus = 1.0 - alpha
@@ -254,17 +258,27 @@ def _rasterize_pallas(
         attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, nfeat=nfeat
     )
 
+    # Convert the full 8-channel blocks to image layout FIRST and do all
+    # channel slicing / bg compose / masking there: per-channel ops on the
+    # (T, 256, 8) block layout (8-wide minor dim) cost ~1 ms each at SLAM
+    # scale, the same ops on (8, H, W) images are ~free.
+    from splatam_tpu.render.pallas_raster import NFEAT_PAD
+
+    color_img = _tiles_to_image(res.color, grid_x, grid_y, cam, NFEAT_PAD)
+    aux_img = _tiles_to_image(res.aux, grid_x, grid_y, cam, 8)
+    final_t = aux_img[1]
+
     bg = cam.bg
     if nfeat != bg.shape[0]:
         bg = jnp.concatenate([bg, jnp.zeros(nfeat - bg.shape[0], bg.dtype)])[:nfeat]
-    color_acc = res.color[..., :nfeat] + res.final_t[..., None] * bg[None, None, :]
-    depth_acc = jnp.where(res.depth > 0.0, res.depth, MEDIAN_DEPTH_INIT)
+    color_out = color_img[:nfeat] + final_t[None] * bg[:, None, None]
+    depth_out = jnp.where(aux_img[0] > 0.0, aux_img[0], MEDIAN_DEPTH_INIT)
 
     out = RenderOutput(
-        color=_tiles_to_image(color_acc, grid_x, grid_y, cam, nfeat),
+        color=color_out,
         radius=proj.radius,
-        depth=_tiles_to_image(depth_acc, grid_x, grid_y, cam)[None],
-        final_t=_tiles_to_image(res.final_t, grid_x, grid_y, cam),
+        depth=depth_out[None],
+        final_t=final_t,
     )
     aux = RenderAux(overflow=binned.overflow, num_instances=binned.num_instances)
     return out, aux

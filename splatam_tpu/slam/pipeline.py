@@ -57,11 +57,18 @@ def _as_frame(color, depth):
 
 
 def _bump_raster(cfg: RasterConfig) -> RasterConfig:
-    """Double the instance capacities after an overflow (recompile event)."""
+    """Double the instance capacities after an overflow (recompile event).
+
+    Snug post-cull capacities (max_stream/max_chunks, if a caller pre-sized
+    them) are reset to their safe defaults rather than doubled — the next
+    sized probe can re-tighten them.
+    """
     return dataclasses.replace(
         cfg,
         max_instances=cfg.max_instances * 2,
         max_per_tile=cfg.max_per_tile * 2,
+        max_stream=None,
+        max_chunks=None,
     )
 
 

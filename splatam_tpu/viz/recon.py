@@ -88,6 +88,60 @@ def render_trajectory(
         imageio.imwrite(os.path.join(out_dir, f"recon_{t:04d}.png"), img)
 
 
+def online_replay(
+    params: Dict,
+    active,
+    timestep,
+    intrinsics: np.ndarray,
+    first_w2c: np.ndarray,
+    out_dir: str,
+    *,
+    width: int,
+    height: int,
+    keyframe_time_indices=None,
+    raster_cfg: RasterConfig = RasterConfig(),
+    view_scale: float = 1.0,
+) -> None:
+    """Per-keyframe ONLINE reconstruction replay (`viz_scripts/online_recon.py`).
+
+    For each keyframe time t the map is rendered with only the Gaussians
+    that existed by t (``timestep <= t``) at the ESTIMATED pose for t —
+    showing the reconstruction as SLAM saw it grow, not the final map.
+    Headless: frames are written as PNGs (the reference drives an Open3D
+    window; TPU pods have no display).
+    """
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    os.makedirs(out_dir, exist_ok=True)
+    w, h = int(width * view_scale), int(height * view_scale)
+    k = np.asarray(intrinsics).copy() * view_scale
+    k[2, 2] = 1.0
+    cam = setup_camera(w, h, k, first_w2c)
+
+    render = jax.jit(
+        lambda p, a, r, t: render_for_loss(
+            p, a, r, t, cam, raster_cfg, gaussians_grad=False,
+            camera_grad=False,
+        )[0]
+    )
+    gauss_only = {kk: v for kk, v in params.items() if not kk.startswith("cam_")}
+    num_frames = params["cam_unnorm_rots"].shape[-1]
+    if keyframe_time_indices is None:
+        keyframe_time_indices = list(range(num_frames))
+    active = jnp.asarray(active)
+    timestep = jnp.asarray(timestep)
+    for t in keyframe_time_indices:
+        t = int(t)
+        born = active & (timestep <= t)
+        rot_t, tran_t = get_pose(params, t)
+        out = render(gauss_only, born, rot_t, tran_t)
+        img = (
+            np.clip(np.asarray(out.color[:3]), 0, 1).transpose(1, 2, 0) * 255
+        ).astype(np.uint8)
+        imageio.imwrite(os.path.join(out_dir, f"online_{t:04d}.png"), img)
+
+
 def plot_trajectory(params: Dict, gt_w2c_all: Optional[np.ndarray], out_path: str):
     """Top-down estimated-vs-GT trajectory plot (plot_utils analog)."""
     import matplotlib

@@ -8,6 +8,10 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA:CPU's AOT executable (de)serialization hard-aborts on some program /
+# machine combinations in this environment; the persistent cache only pays
+# for itself on TPU (remote compiles), so tests run without it.
+os.environ.setdefault("SPLATAM_TPU_NO_COMPILATION_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -206,4 +206,6 @@ def test_sized_config_counts_instances():
         gaussians_grad=False, camera_grad=False,
     )
     assert not bool(aux.overflow)
-    assert int(aux.num_instances) == total
+    # count_instances is the rect-based capacity bound; the tile-alpha
+    # cull can only shrink the emitted stream
+    assert 0 < int(aux.num_instances) <= total

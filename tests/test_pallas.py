@@ -31,13 +31,13 @@ def test_pallas_forward_matches_jnp(seed):
     out, aux = rasterize_tiled(*args, cfg=CFG_PAL)
     assert not bool(aux.overflow)
     np.testing.assert_allclose(
-        np.asarray(out.color), np.asarray(ref.color), atol=3e-6
+        np.asarray(out.color), np.asarray(ref.color), atol=1e-5, rtol=1e-5
     )
     np.testing.assert_allclose(
         np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5
     )
     np.testing.assert_allclose(
-        np.asarray(out.final_t), np.asarray(ref.final_t), atol=3e-6
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-5
     )
 
 
@@ -56,7 +56,7 @@ def test_pallas_forward_multifeat():
     ref, _ = rasterize_tiled(*args, cfg=CFG_JNP)
     out, _ = rasterize_tiled(*args, cfg=CFG_PAL)
     np.testing.assert_allclose(
-        np.asarray(out.color), np.asarray(ref.color), atol=1e-5
+        np.asarray(out.color), np.asarray(ref.color), atol=1e-5, rtol=1e-5
     )
 
 
@@ -86,7 +86,7 @@ def test_pallas_gradients_match_jnp():
     ):
         scale = np.abs(np.asarray(gr)).max() + 1e-8
         np.testing.assert_allclose(
-            np.asarray(gp) / scale, np.asarray(gr) / scale, atol=2e-5, err_msg=name
+            np.asarray(gp) / scale, np.asarray(gr) / scale, atol=5e-5, err_msg=name
         )
 
 

@@ -74,6 +74,43 @@ def test_ssim_identity():
     assert float(calc_ssim(img, noisy)) < 0.8
 
 
+def test_ssim_matches_torch_conv():
+    """The banded-matmul filter must equal the reference's torch depthwise
+    conv SSIM (`utils/slam_external.py:54-98`) to float noise."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    ws, sigma = 11, 1.5
+    g = torch.tensor(
+        [math.exp(-((x - ws // 2) ** 2) / (2 * sigma**2)) for x in range(ws)]
+    )
+    g = g / g.sum()
+    w2 = (g[:, None] @ g[None, :]).expand(3, 1, ws, ws)
+
+    def conv(x):
+        return F.conv2d(x[None], w2, padding=ws // 2, groups=3)[0]
+
+    rng = np.random.default_rng(3)
+    a = rng.random((3, 68, 120), dtype=np.float32)
+    b = np.clip(
+        a + 0.1 * rng.standard_normal((3, 68, 120)).astype(np.float32), 0, 1
+    )
+    ta, tb = torch.tensor(a), torch.tensor(b)
+    mu1, mu2 = conv(ta), conv(tb)
+    s1 = conv(ta * ta) - mu1**2
+    s2 = conv(tb * tb) - mu2**2
+    s12 = conv(ta * tb) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ref = (
+        ((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+        / ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+    ).mean().item()
+    ours = float(calc_ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(ours - ref) < 1e-5
+
+
 def test_tracking_recovers_pose_perturbation():
     """With the GT gaussian map, tracking should pull a perturbed pose back."""
     ds = SyntheticDataset(num_frames=3, width=96, height=64)
@@ -258,3 +295,39 @@ def test_end_to_end_slam_synthetic():
     ate = float(np.sqrt(np.mean(np.square(errs))))
     # frame-to-frame motion is ~2cm; tracking should stay well under that
     assert ate < 0.02, f"ATE {ate}"
+
+
+@pytest.mark.slow
+def test_long_slam_regression_ate_bounded():
+    """30-frame synthetic trajectory with silhouette densification AND
+    pruning active, plus a tight ATE bar scaled to the camera motion — the
+    stand-in for the reference's Replica benchmark runs (BASELINE
+    configs[2-4]) until real data is available (VERDICT r1 item 10)."""
+    from splatam_tpu.eval.ate import evaluate_ate, trajectory_from_params
+
+    ds = SyntheticDataset(num_frames=30, width=96, height=64, motion_scale=1.0)
+    cfg = small_config(30)
+    cfg["keyframe_every"] = 3
+    cfg["tracking"]["num_iters"] = 10
+    cfg["mapping"]["num_iters"] = 8
+    state = rgbd_slam(cfg, ds, progress=False)
+
+    assert num_active(state.variables) > 0
+    gt, est = trajectory_from_params(
+        state.params, state.first_w2c, state.gt_w2c_all
+    )
+    assert len(gt) == 30
+    ate = evaluate_ate(gt, est)
+    # total camera travel is ~0.6 m over 30 frames; a healthy run tracks to
+    # a few mm — 2 cm mean ATE = clearly broken tracking
+    travel = sum(
+        float(np.linalg.norm(np.asarray(a)[:3, 3] - np.asarray(b)[:3, 3]))
+        for a, b in zip(state.gt_w2c_all[1:], state.gt_w2c_all[:-1])
+    )
+    assert travel > 0.05, "synthetic trajectory should actually move"
+    assert ate < 0.02, f"mean ATE {ate:.4f} m over {travel:.2f} m of motion"
+    # all four reference timing averages populated (scripts/splatam.py:970-973)
+    for key in (
+        "tracking_iter", "tracking_frame", "mapping_iter", "mapping_frame"
+    ):
+        assert len(state.timing[key]) > 0, key

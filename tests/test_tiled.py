@@ -93,7 +93,8 @@ def test_binning_counts_match_rects():
     means, colors, opacities, scales, quats, cam = make_scene(rng, n=50, w=64, h=48)
     proj = preprocess(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), cam)
     binned = bin_gaussians(proj, cam, CFG)
-    assert int(binned.num_instances) == int(np.asarray(proj.tiles_touched).sum())
+    # the tile-alpha cull may drop rect-corner instances, never add
+    assert 0 < int(binned.num_instances) <= int(np.asarray(proj.tiles_touched).sum())
     # every bucket entry's gaussian rect must cover the tile
     bucket = np.asarray(binned.bucket)
     rect_min = np.asarray(proj.rect_min)

@@ -43,7 +43,19 @@ def main():
     rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
     tran = jnp.zeros(3, jnp.float32)
     total = int(jax.jit(count_instances)(params, jnp.ones(n, bool), rot, tran, cam))
-    cfg = sized_config(total, RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128))
+    base = RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128)
+    from splatam_tpu.core.losses import compute_binned as _cb
+
+    print("probe binning...", flush=True)
+    probe = jax.jit(_cb, static_argnums=5)(
+        params, active, rot, tran, cam, sized_config(total, base)
+    )
+    cfg = sized_config(
+        total,
+        base,
+        num_kept=int(probe.num_instances),
+        chunks_used=int(probe.padded_total) // base.chunk,
+    )
     gt_im = jnp.zeros((3, h, w), jnp.float32)
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
 
@@ -74,12 +86,15 @@ def main():
         open("/tmp/bench_hlo.txt", "w").write(txt)
         print(f"HLO -> /tmp/bench_hlo.txt ({len(txt)} bytes)")
 
+    print("compile + warm...", flush=True)
     _ = float(run(gauss))  # compile + warm
 
+    print("tracing...", flush=True)
     logdir = tempfile.mkdtemp(prefix="benchtrace_")
     jax.profiler.start_trace(logdir)
     _ = float(run(gauss))
     jax.profiler.stop_trace()
+    print("aggregating...", flush=True)
 
     files = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
     assert files, f"no trace under {logdir}"

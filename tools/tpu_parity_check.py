@@ -76,23 +76,36 @@ def main():
 
     ok = True
 
-    def check(name, a, b, atol, rtol=1e-4):
+    def check(name, a, b, atol, rtol=1e-4, q999=None):
         nonlocal ok
         err = np.max(np.abs(a - b)) if a.size else 0.0
         scale = np.max(np.abs(b)) + 1e-12
         good = np.allclose(a, b, atol=atol, rtol=rtol)
-        print(f"{name:<24} max_abs_err={err:.3e} rel={err/scale:.3e} "
-              f"{'OK' if good else 'FAIL'}")
+        msg = f"{name:<24} max_abs_err={err:.3e} rel={err/scale:.3e}"
+        if q999 is not None and a.size:
+            # the max is dominated by ALPHA_MIN keep-threshold flips (see
+            # below); the error BODY must stay at f32-noise level
+            p = np.quantile(np.abs(a - b), 0.999)
+            good &= bool(p < q999)
+            msg += f" p99.9={p:.2e}"
+        print(msg + f" {'OK' if good else 'FAIL'}")
         ok &= bool(good)
 
     print(f"loss pallas={lp:.6f} jnp={lj:.6f}")
     ok &= abs(lp - lj) < 1e-3 * max(abs(lj), 1.0)
-    for nm, a, b, atol in (
-        ("im", rp[0], rj[0], 1e-4),
-        ("depth", rp[1], rj[1], 1e-3),
-        ("silhouette", rp[2], rj[2], 1e-4),
+    # Forward tolerance: the kernels evaluate the exponent via an MXU
+    # quadratic form while the oracle uses per-pair arithmetic; alphas that
+    # land within ~1e-5 of the ALPHA_MIN=1/255 keep threshold can flip
+    # inclusion between the two associations (the CUDA reference differs
+    # from ANY reimplementation the same way), and each flip moves a pixel
+    # by at most ~alpha_min * T * feature. Hence: max error bounded by
+    # ~ALPHA_MIN, 99.9th percentile pinned at f32-noise level.
+    for nm, a, b, atol, q in (
+        ("im", rp[0], rj[0], 5e-3, 1e-4),
+        ("depth", rp[1], rj[1], 2e-2, 1e-3),
+        ("silhouette", rp[2], rj[2], 5e-3, 1e-4),
     ):
-        check(nm, a, b, atol)
+        check(nm, a, b, atol, q999=q)
     # Gradient tolerance: at this scene density (~400 instances/tile, deep
     # saturated alpha stacks) the two f32 formulations (log-space MXU cumsum
     # vs sequential cumprod) accumulate ~1e-2 relative elementwise noise in
