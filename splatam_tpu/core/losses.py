@@ -235,6 +235,7 @@ def slam_loss(
     cfg: RasterConfig,
     *,
     tracking: bool,
+    do_ba: bool = False,
     loss_w_im: float,
     loss_w_depth: float,
     use_sil_for_loss: bool,
@@ -249,7 +250,9 @@ def slam_loss(
 
     tracking=True: pose-only grads, per-pixel sums over the silhouette mask.
     tracking=False (mapping): gaussian-only grads, mean L1 depth +
-    0.8 L1 / 0.2 DSSIM RGB.
+    0.8 L1 / 0.2 DSSIM RGB. ``do_ba=True`` (bundle adjustment,
+    `scripts/splatam.py:232-238`) additionally lets the mapping loss
+    carry camera-pose gradients.
 
     ``median_scale`` / ``median_thr`` parametrize the outlier-depth mask as
     in the realtime fork (`scripts/splatam_realtime.py:306-317`):
@@ -259,7 +262,7 @@ def slam_loss(
     """
     out, aux = render_for_loss(
         params, active, cam_rot, cam_tran, cam, cfg,
-        gaussians_grad=not tracking, camera_grad=tracking,
+        gaussians_grad=not tracking, camera_grad=tracking or do_ba,
         means2d_dummy=means2d_dummy, binned=binned,
     )
     im = out.color[:3]

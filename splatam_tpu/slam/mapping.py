@@ -31,6 +31,10 @@ class MapStepResult(NamedTuple):
     radius: jax.Array  # (C,) int32
     means2d_grad_norm: jax.Array  # (C,) accumulated ||dL/dmeans2D||
     overflow: jax.Array
+    # do_ba=True only: bundle-adjusted keyframe pose + its Adam moments
+    cam_rot: jax.Array | None = None
+    cam_tran: jax.Array | None = None
+    pose_opt: AdamState | None = None
 
 
 def init_mapping_optimizer(params: Dict[str, jax.Array]) -> AdamState:
@@ -42,7 +46,7 @@ def init_mapping_optimizer(params: Dict[str, jax.Array]) -> AdamState:
     jax.jit,
     static_argnames=(
         "cfg", "sil_thres", "use_sil_for_loss", "ignore_outlier_depth_loss",
-        "loss_w_im", "loss_w_depth", "lrs", "track_means2d_grad",
+        "loss_w_im", "loss_w_depth", "lrs", "track_means2d_grad", "do_ba",
     ),
 )
 def map_step(
@@ -62,9 +66,16 @@ def map_step(
     loss_w_im: float = 0.5,
     loss_w_depth: float = 1.0,
     track_means2d_grad: bool = False,
+    do_ba: bool = False,
+    pose_opt: AdamState | None = None,
     binned=None,
 ) -> MapStepResult:
-    """One mapping Adam iteration on the Gaussian parameters (pose frozen).
+    """One mapping Adam iteration on the Gaussian parameters.
+
+    The keyframe pose is frozen unless ``do_ba=True`` (bundle adjustment,
+    `scripts/splatam.py:232-238`): then the pose receives gradients too and
+    takes its own Adam step with the ``cam_unnorm_rots`` / ``cam_trans``
+    learning rates, threading its moments through ``pose_opt``.
 
     ``binned`` optionally reuses a precomputed instance stream (see
     core.losses.compute_binned) — the driver caches one per keyframe and
@@ -76,12 +87,12 @@ def map_step(
         else None
     )
 
-    def loss_fn(g, d):
+    def loss_fn(g, rot, tran, d):
         p = dict(params)
         p.update(g)
         out = slam_loss(
-            p, active, cam_rot, cam_tran, frame_im, frame_depth, cam, cfg,
-            tracking=False,
+            p, active, rot, tran, frame_im, frame_depth, cam, cfg,
+            tracking=False, do_ba=do_ba,
             loss_w_im=loss_w_im, loss_w_depth=loss_w_depth,
             use_sil_for_loss=use_sil_for_loss, sil_thres=sil_thres,
             ignore_outlier_depth_loss=ignore_outlier_depth_loss,
@@ -90,14 +101,38 @@ def map_step(
         )
         return out.loss, out
 
+    argnums = (0,)
+    if do_ba:
+        argnums += (1, 2)
     if track_means2d_grad:
-        (loss, out), (grads, dummy_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(gauss, dummy)
-        m2d_norm = jnp.linalg.norm(dummy_grad, axis=-1)
+        argnums += (3,)
+    (loss, out), grad_tuple = jax.value_and_grad(
+        loss_fn, argnums=argnums, has_aux=True
+    )(gauss, cam_rot, cam_tran, dummy)
+    grads = grad_tuple[0]
+    pose_grads = grad_tuple[1:3] if do_ba else None
+    if track_means2d_grad:
+        m2d_norm = jnp.linalg.norm(grad_tuple[-1], axis=-1)
     else:
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(gauss, dummy)
         m2d_norm = jnp.zeros(gauss["means3D"].shape[0], jnp.float32)
+
+    new_rot, new_tran, new_pose_opt = cam_rot, cam_tran, None
+    if do_ba:
+        lr_map = dict(lrs)
+        pose_params = {"cam_unnorm_rots": cam_rot, "cam_trans": cam_tran}
+        if pose_opt is None:
+            pose_opt = init_adam(pose_params)
+        new_pose, new_pose_opt = adam_step(
+            pose_params,
+            {"cam_unnorm_rots": pose_grads[0], "cam_trans": pose_grads[1]},
+            pose_opt,
+            {
+                "cam_unnorm_rots": lr_map.get("cam_unnorm_rots", 0.0),
+                "cam_trans": lr_map.get("cam_trans", 0.0),
+            },
+            eps=1e-15,
+        )
+        new_rot, new_tran = new_pose["cam_unnorm_rots"], new_pose["cam_trans"]
 
     # inactive capacity-padding slots must never move (and any NaN leaking
     # from their degenerate values must not reach the moments)
@@ -106,8 +141,9 @@ def map_step(
         for k, g in grads.items()
     }
 
+    gauss_lrs = {k: v for k, v in dict(lrs).items() if k in gauss}
     new_gauss, opt_state = adam_step(
-        gauss, grads, opt_state, dict(lrs), eps=1e-15
+        gauss, grads, opt_state, gauss_lrs, eps=1e-15
     )
     new_params = dict(params)
     new_params.update(new_gauss)
@@ -119,6 +155,9 @@ def map_step(
         radius=out.radius,
         means2d_grad_norm=m2d_norm,
         overflow=out.overflow,
+        cam_rot=new_rot if do_ba else None,
+        cam_tran=new_tran if do_ba else None,
+        pose_opt=new_pose_opt,
     )
 
 

@@ -166,6 +166,10 @@ def rgbd_slam(
 
     lrs_map = tuple(sorted(cfg_map["lrs"].items()))
     gauss_lrs = tuple((k, v) for k, v in lrs_map if not k.startswith("cam_"))
+    # bundle adjustment (`get_loss` do_ba, `scripts/splatam.py:232-238`):
+    # mapping also optimizes the sampled keyframe's pose with the cam lrs
+    do_ba = bool(cfg_map.get("do_ba", False))
+    map_lrs = lrs_map if do_ba else gauss_lrs
 
     # --- checkpoint resume (`scripts/splatam.py:624-658`) ---
     start_frame = 0
@@ -249,9 +253,52 @@ def rgbd_slam(
                 # reference's per-iteration re-sort inside one dispatch.
                 rebin = cfg_track.get("rebin_every", 10)
 
+                # live tracking-loss diagnostic figure, once per dispatch
+                # boundary (`scripts/splatam.py:299-344` draws per torch
+                # iteration; here iterations run fused inside one scan, so
+                # the figure refreshes per rebin segment)
+                viz_track = cfg_track.get("visualize_tracking_loss", False)
+                plot_dir = os.path.join(
+                    config.get("workdir", "."), "plots"
+                )
+
+                def _viz_segment(res, iteration):
+                    from splatam_tpu.core.losses import slam_loss
+                    from splatam_tpu.viz.plots import save_tracking_loss_viz
+
+                    out = slam_loss(
+                        {**params, **gauss_only}, variables["active"],
+                        res.final_rot, res.final_tran, track_im, track_depth,
+                        track_cam, raster_cfg,
+                        tracking=True,
+                        loss_w_im=cfg_track["loss_weights"]["im"],
+                        loss_w_depth=cfg_track["loss_weights"]["depth"],
+                        use_sil_for_loss=cfg_track["use_sil_for_loss"],
+                        sil_thres=cfg_track["sil_thres"],
+                        ignore_outlier_depth_loss=cfg_track[
+                            "ignore_outlier_depth_loss"
+                        ],
+                    )
+                    save_tracking_loss_viz(
+                        np.asarray(out.im), np.asarray(out.depth),
+                        np.asarray(out.silhouette), np.asarray(track_im),
+                        np.asarray(track_depth),
+                        {k: float(v) for k, v in out.losses.items()},
+                        plot_dir, iteration,
+                        use_sil_for_loss=cfg_track["use_sil_for_loss"],
+                        sil_thres=cfg_track["sil_thres"],
+                        ignore_outlier_depth_loss=cfg_track[
+                            "ignore_outlier_depth_loss"
+                        ],
+                        time_idx=time_idx,
+                    )
+
                 def run_track(n, resume=None):
                     if not rebin or cfg_track.get("fixed_binning", False):
-                        return run_track_once(n, resume=resume)
+                        res = run_track_once(n, resume=resume)
+                        if viz_track:
+                            _viz_segment(res, n)
+                        return res
                     res, done = None, 0
                     while done < n:
                         step = min(rebin, n - done)
@@ -266,6 +313,8 @@ def rgbd_slam(
                         )
                         res = run_track_once(step, resume=rstate, binned=binned)
                         done += step
+                        if viz_track:
+                            _viz_segment(res, done)
                     return res
 
                 res = run_track(n_iters)
@@ -371,6 +420,11 @@ def rgbd_slam(
                 gauss_map = {k: params[k] for k in GAUSSIAN_KEYS}
                 overflow_any = jnp.bool_(False)
                 binned_cache: Dict[int, tuple] = {}
+                # per-phase pose moments per keyframe (the reference builds
+                # one fresh optimizer over the full cam arrays per phase;
+                # per-keyframe slots reproduce that, since gradients only
+                # ever hit the sampled keyframe's slice)
+                pose_opts: Dict[int, object] = {}
                 for it in range(cfg_map["num_iters"]):
                     kf = selected_frames[rng.integers(0, len(selected_frames))]
                     kf_rot, kf_tran = get_pose(params, kf["id"])
@@ -394,7 +448,9 @@ def rgbd_slam(
                         jax.lax.stop_gradient(kf_rot),
                         jax.lax.stop_gradient(kf_tran),
                         kf["im"], kf["depth"], cam, raster_cfg,
-                        lrs=gauss_lrs,
+                        lrs=map_lrs,
+                        do_ba=do_ba,
+                        pose_opt=pose_opts.get(kf["id"]),
                         sil_thres=cfg_map["sil_thres"],
                         use_sil_for_loss=cfg_map["use_sil_for_loss"],
                         ignore_outlier_depth_loss=cfg_map["ignore_outlier_depth_loss"],
@@ -406,6 +462,13 @@ def rgbd_slam(
                     overflow_any = overflow_any | result.overflow
                     opt_state = result.opt_state
                     gauss_map = result.params
+                    if do_ba:
+                        params = _set_pose(
+                            params, kf["id"], result.cam_rot, result.cam_tran
+                        )
+                        pose_opts[kf["id"]] = result.pose_opt
+                        # pose moved: this keyframe's frozen stream is stale
+                        binned_cache.pop(kf["id"], None)
                     variables["max_2D_radius"] = jnp.where(
                         result.seen,
                         jnp.maximum(

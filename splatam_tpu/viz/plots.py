@@ -225,3 +225,89 @@ def load_running_metrics(exp_dir: str) -> Tuple[np.ndarray, np.ndarray, np.ndarr
     fname = sorted(glob.glob(os.path.join(exp_dir, "running_metrics_*")))[0]
     data = np.loadtxt(fname, delimiter=",", skiprows=1).reshape(-1, 4)
     return data[:, 0], data[:, 1], data[:, 2]
+
+
+def save_tracking_loss_viz(
+    render_im: np.ndarray,  # (3, H, W) rendered color
+    render_depth: np.ndarray,  # (1, H, W)
+    silhouette: np.ndarray,  # (H, W)
+    frame_im: np.ndarray,  # (3, H, W) ground truth
+    frame_depth: np.ndarray,  # (1, H, W)
+    losses: Dict[str, float],
+    plot_dir: str,
+    iteration: int,
+    *,
+    use_sil_for_loss: bool = True,
+    sil_thres: float = 0.99,
+    ignore_outlier_depth_loss: bool = False,
+    time_idx: int | None = None,
+) -> str:
+    """Tracking-loss diagnostic figure (`scripts/splatam.py:299-344`).
+
+    2x4 grid: weighted GT/render RGB + depth, RGB/depth error maps with the
+    loss values, the silhouette-presence mask and the combined loss mask —
+    the masks are rebuilt here with the same rules the loss used
+    (core.losses.slam_loss). Saved as ``tracking_%04d/%04d.png`` when
+    ``time_idx`` is given, else ``tmp.png`` (reference keeps only the live
+    view); returns the path.
+    """
+    render_im = np.asarray(render_im, np.float32)
+    render_depth = np.asarray(render_depth, np.float32).reshape(
+        1, *render_im.shape[1:]
+    )
+    silhouette = np.asarray(silhouette, np.float32)
+    frame_im = np.asarray(frame_im, np.float32)
+    frame_depth = np.asarray(frame_depth, np.float32).reshape(render_depth.shape)
+
+    if ignore_outlier_depth_loss:
+        depth_error = np.abs(frame_depth - render_depth) * (frame_depth > 0)
+        mask = (depth_error < 10 * np.median(depth_error)) & (frame_depth > 0)
+    else:
+        mask = frame_depth > 0
+    presence = silhouette > sil_thres
+    if use_sil_for_loss:
+        mask = mask & presence[None]
+    color_mask = np.broadcast_to(mask, render_im.shape)
+
+    w_render_im = render_im * color_mask
+    w_im = frame_im * color_mask
+    w_render_depth = render_depth * mask
+    w_depth = frame_depth * mask
+    diff_rgb = np.abs(w_render_im - w_im).mean(axis=0)
+    diff_depth = np.abs(w_render_depth - w_depth).mean(axis=0)
+
+    plt = _agg_plt()
+    fig, ax = plt.subplots(2, 4, figsize=(12, 6))
+    ax[0, 0].imshow(np.clip(w_im.transpose(1, 2, 0), 0, 1))
+    ax[0, 0].set_title("Weighted GT RGB")
+    ax[1, 0].imshow(np.clip(w_render_im.transpose(1, 2, 0), 0, 1))
+    ax[1, 0].set_title("Weighted Rendered RGB")
+    ax[0, 1].imshow(w_depth[0], cmap="jet", vmin=0, vmax=6)
+    ax[0, 1].set_title("Weighted GT Depth")
+    ax[1, 1].imshow(w_render_depth[0], cmap="jet", vmin=0, vmax=6)
+    ax[1, 1].set_title("Weighted Rendered Depth")
+    ax[0, 2].imshow(diff_rgb, cmap="jet", vmin=0, vmax=0.8)
+    ax[0, 2].set_title(f"Diff RGB, Loss: {round(float(losses.get('im', 0.0)))}")
+    ax[1, 2].imshow(diff_depth, cmap="jet", vmin=0, vmax=0.8)
+    ax[1, 2].set_title(
+        f"Diff Depth, Loss: {round(float(losses.get('depth', 0.0)))}"
+    )
+    ax[0, 3].imshow(presence, cmap="gray")
+    ax[0, 3].set_title("Silhouette Mask")
+    ax[1, 3].imshow(mask[0], cmap="gray")
+    ax[1, 3].set_title("Loss Mask")
+    for i in range(2):
+        for j in range(4):
+            ax[i, j].axis("off")
+    fig.suptitle(f"Tracking Iteration: {iteration}", fontsize=16)
+    fig.tight_layout()
+    if time_idx is None:
+        os.makedirs(plot_dir, exist_ok=True)
+        path = os.path.join(plot_dir, "tmp.png")
+    else:
+        sub = os.path.join(plot_dir, f"tracking_{time_idx:04d}")
+        os.makedirs(sub, exist_ok=True)
+        path = os.path.join(sub, f"{iteration:04d}.png")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -106,3 +106,21 @@ def test_online_replay_writes_frames(tmp_path):
     )
     assert (tmp_path / "online" / "online_0000.png").exists()
     assert (tmp_path / "online" / "online_0001.png").exists()
+
+
+def test_visualize_tracking_loss_writes_figures(tmp_path):
+    """tracking.visualize_tracking_loss must write the 2x4 diagnostic grid
+    per dispatch segment (`scripts/splatam.py:299-344`)."""
+    from splatam_tpu.data.synthetic import SyntheticDataset
+    from splatam_tpu.slam.pipeline import rgbd_slam
+    from tests.test_slam import small_config
+
+    ds = SyntheticDataset(num_frames=2, width=32, height=24)
+    cfg = small_config(num_frames=2)
+    cfg["workdir"] = str(tmp_path)
+    cfg["tracking"]["num_iters"] = 2
+    cfg["tracking"]["visualize_tracking_loss"] = True
+    cfg["mapping"]["num_iters"] = 1
+    rgbd_slam(cfg, ds, progress=False)
+    figs = list((tmp_path / "plots").glob("tracking_*/*.png"))
+    assert figs, list((tmp_path / "plots").rglob("*"))

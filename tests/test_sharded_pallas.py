@@ -66,3 +66,18 @@ def test_sharded_gradients_match_single(mesh):
         np.testing.assert_allclose(
             np.asarray(gs) / scale, np.asarray(gr) / scale, atol=2e-5, err_msg=name
         )
+
+
+def test_batched_map_size_harness():
+    """tools/batched_map_size.py must compile the keyframe-batched step on
+    the virtual mesh and report per-device memory; --check executes it."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from batched_map_size import measure
+
+    stats = measure(96, 64, batch=4, gaussians=512, n_data=2, check=True)
+    assert stats["devices"] == 8
+    assert stats["total_mb"] > 0
+    assert stats["fits_v5e_16gb"]
+    import numpy as np
+    assert np.isfinite(stats["loss"])

@@ -149,6 +149,86 @@ def test_tracking_recovers_pose_perturbation():
     assert not bool(res.overflow)
 
 
+def test_do_ba_map_step_updates_pose():
+    """Bundle-adjustment mode (`get_loss` do_ba, `scripts/splatam.py:232`):
+    map_step with do_ba=True must carry pose gradients and pull a perturbed
+    keyframe pose toward GT; do_ba=False must leave the pose untouched."""
+    from splatam_tpu.slam.mapping import init_mapping_optimizer, map_step
+
+    ds = SyntheticDataset(num_frames=2, width=96, height=64)
+    color, depth, k4, pose = ds[1]
+    pt_cld = np.concatenate([ds.means, ds.colors], axis=-1)
+    params, variables = initialize_params(
+        pt_cld, 2, (ds.scales[:, 0] ** 2), "isotropic"
+    )
+    params["logit_opacities"] = params["logit_opacities"] + jnp.where(
+        variables["active"][:, None], np.log(0.98 / 0.02), 0.0
+    )
+    gt_w2c = np.linalg.inv(pose)
+    from splatam_tpu.core.transforms import matrix_to_quaternion
+
+    gt_rot = np.asarray(matrix_to_quaternion(jnp.asarray(gt_w2c[:3, :3])))
+    gt_tran = gt_w2c[:3, 3]
+    rot0 = jnp.asarray(gt_rot + np.array([0.0, 0.002, -0.002, 0.001], np.float32))
+    tran0 = jnp.asarray(gt_tran + np.array([0.01, -0.008, 0.008], np.float32))
+    im = jnp.asarray(color.transpose(2, 0, 1) / 255.0)
+    dep = jnp.asarray(depth.transpose(2, 0, 1))
+    cfg = RasterConfig(max_instances=2**17, max_per_tile=512, chunk=64)
+    lrs = (
+        ("cam_trans", 0.01), ("cam_unnorm_rots", 0.002),
+        ("log_scales", 0.0), ("logit_opacities", 0.0),
+        ("means3D", 0.0), ("rgb_colors", 0.0), ("unnorm_rotations", 0.0),
+    )
+
+    def run(do_ba, iters=25):
+        rot, tran = rot0, tran0
+        opt = init_mapping_optimizer(params)
+        pose_opt = None
+        for _ in range(iters):
+            res = map_step(
+                params, variables["active"], opt, rot, tran, im, dep,
+                ds._cam0, cfg, lrs=lrs, do_ba=do_ba, pose_opt=pose_opt,
+            )
+            opt = res.opt_state
+            if do_ba:
+                rot, tran, pose_opt = res.cam_rot, res.cam_tran, res.pose_opt
+        return rot, tran
+
+    rot_off, tran_off = run(False, iters=2)
+    np.testing.assert_array_equal(np.asarray(tran_off), np.asarray(tran0))
+    np.testing.assert_array_equal(np.asarray(rot_off), np.asarray(rot0))
+
+    _, tran_ba = run(True, iters=40)
+    err0 = np.linalg.norm(np.asarray(tran0) - gt_tran)
+    err1 = np.linalg.norm(np.asarray(tran_ba) - gt_tran)
+    assert err1 < 0.7 * err0, (err0, err1)
+
+
+def test_do_ba_pipeline_moves_keyframe_poses():
+    """cfg mapping.do_ba=True must let the SLAM mapping phase move keyframe
+    poses (nonzero cam lrs); off, mapping leaves poses exactly where
+    tracking put them."""
+    from splatam_tpu.core.params import get_pose
+
+    ds = SyntheticDataset(num_frames=3, width=80, height=64)
+
+    def run(flag):
+        cfg = small_config(3)
+        cfg["tracking"]["use_gt_poses"] = True
+        cfg["mapping"]["num_iters"] = 3
+        cfg["mapping"]["do_ba"] = flag
+        cfg["mapping"]["lrs"]["cam_unnorm_rots"] = 0.001
+        cfg["mapping"]["lrs"]["cam_trans"] = 0.004
+        state = rgbd_slam(cfg, ds, progress=False)
+        return np.asarray(get_pose(state.params, 1)[1])
+
+    gt_tran = np.linalg.inv(ds[1][3])[:3, 3]
+    tran_off = run(False)
+    tran_on = run(True)
+    np.testing.assert_allclose(tran_off, gt_tran, atol=1e-5)
+    assert np.linalg.norm(tran_on - tran_off) > 1e-6
+
+
 def test_tracking_resume_equals_longer_run():
     """n iters + resume(n) must equal one 2n-iter run: the depth-loss-thres
     doubling continues the SAME Adam state (`scripts/splatam.py:745-758`)."""
