@@ -35,6 +35,8 @@ class MapStepResult(NamedTuple):
     cam_rot: jax.Array | None = None
     cam_tran: jax.Array | None = None
     pose_opt: AdamState | None = None
+    nonfinite: jax.Array | bool = False  # loss was NaN/inf; the update
+    # was skipped (params/opt/pose returned unchanged)
 
 
 def init_mapping_optimizer(params: Dict[str, jax.Array]) -> AdamState:
@@ -116,6 +118,13 @@ def map_step(
     else:
         m2d_norm = jnp.zeros(gauss["means3D"].shape[0], jnp.float32)
 
+    # NaN/inf-loss guard: skip the whole update for a divergent iteration so
+    # bad frame data can't poison the map or the Adam moments
+    finite = jnp.isfinite(loss)
+
+    def keep_good(new, old):
+        return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+
     new_rot, new_tran, new_pose_opt = cam_rot, cam_tran, None
     if do_ba:
         lr_map = dict(lrs)
@@ -132,6 +141,9 @@ def map_step(
             },
             eps=1e-15,
         )
+        new_pose, new_pose_opt = keep_good(
+            (new_pose, new_pose_opt), (pose_params, pose_opt)
+        )
         new_rot, new_tran = new_pose["cam_unnorm_rots"], new_pose["cam_trans"]
 
     # inactive capacity-padding slots must never move (and any NaN leaking
@@ -142,8 +154,9 @@ def map_step(
     }
 
     gauss_lrs = {k: v for k, v in dict(lrs).items() if k in gauss}
-    new_gauss, opt_state = adam_step(
-        gauss, grads, opt_state, gauss_lrs, eps=1e-15
+    new_gauss, opt_state = keep_good(
+        adam_step(gauss, grads, opt_state, gauss_lrs, eps=1e-15),
+        (gauss, opt_state),
     )
     new_params = dict(params)
     new_params.update(new_gauss)
@@ -153,11 +166,12 @@ def map_step(
         losses=out.losses,
         seen=out.radius > 0,
         radius=out.radius,
-        means2d_grad_norm=m2d_norm,
+        means2d_grad_norm=jnp.where(finite, m2d_norm, 0.0),
         overflow=out.overflow,
         cam_rot=new_rot if do_ba else None,
         cam_tran=new_tran if do_ba else None,
         pose_opt=new_pose_opt,
+        nonfinite=~finite,
     )
 
 

@@ -94,6 +94,11 @@ class SlamState:
             "mapping_iter": [], "mapping_frame": [],
         }
         self.log_fn = None  # optional metrics sink (e.g. wandb_run.log)
+        # NaN/inf-loss iterations whose updates were skipped (the guards in
+        # tracking.track_frame / mapping.map_step). Accumulated as lazy
+        # device scalars — no per-frame host sync — and fetched once at the
+        # end of rgbd_slam.
+        self.nonfinite = {"tracking": 0, "mapping": 0}
 
 
 def rgbd_slam(
@@ -339,6 +344,9 @@ def rgbd_slam(
                     res = run_track(n_iters, resume=res.resume_state)
                     n_iters = 2 * n_iters
                 params = _set_pose(params, time_idx, res.best_rot, res.best_tran)
+                state.nonfinite["tracking"] = (
+                    state.nonfinite["tracking"] + res.nonfinite
+                )
                 # per-iteration average (the scan is one dispatch, so
                 # wall-per-iter = phase / iters) — reference headline stat
                 # (`scripts/splatam.py:970-973`)
@@ -408,7 +416,7 @@ def rgbd_slam(
             # overflow per iteration would force a ~35 ms device sync each
             # step; instead the flags are OR-ed on device and fetched once
             # per phase (overflow is rare — the retry path recompiles anyway).
-            snapshot = (params, dict(variables))
+            snapshot = (params, dict(variables), state.nonfinite["mapping"])
             # per-keyframe frozen binning: mapping samples a random keyframe
             # per iteration, so each keyframe's instance stream is cached at
             # first use and refreshed every rebin_every iterations (or after
@@ -460,6 +468,9 @@ def rgbd_slam(
                         binned=binned,
                     )
                     overflow_any = overflow_any | result.overflow
+                    state.nonfinite["mapping"] = state.nonfinite[
+                        "mapping"
+                    ] + result.nonfinite.astype(jnp.int32)
                     opt_state = result.opt_state
                     gauss_map = result.params
                     if do_ba:
@@ -517,6 +528,7 @@ def rgbd_slam(
                     )
                     break
                 params, variables = snapshot[0], dict(snapshot[1])
+                state.nonfinite["mapping"] = snapshot[2]
                 raster_cfg = _bump_raster(raster_cfg)
                 print(
                     f"[info] raster overflow in mapping at frame {time_idx}: "
@@ -571,4 +583,11 @@ def rgbd_slam(
 
     state.params = params
     state.variables = variables
+    state.nonfinite = {k: int(v) for k, v in state.nonfinite.items()}
+    if any(state.nonfinite.values()):
+        print(
+            "[warn] skipped NaN/inf-loss iterations: "
+            f"tracking={state.nonfinite['tracking']} "
+            f"mapping={state.nonfinite['mapping']}"
+        )
     return state

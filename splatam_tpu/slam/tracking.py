@@ -33,6 +33,8 @@ class TrackResult(NamedTuple):
     final_rot: jax.Array  # (4,) post-step pose of the LAST iteration
     final_tran: jax.Array  # (3,)
     opt: object  # AdamState — pass back via ``resume`` to continue
+    nonfinite: jax.Array | int = 0  # iterations whose loss was NaN/inf
+    # (their updates were skipped — see the guard in ``body``)
 
     @property
     def resume_state(self):
@@ -144,22 +146,34 @@ def track_frame(
         return out.loss, out
 
     def body(carry, _):
-        pose, opt, best_rot, best_tran, best_loss, overflow = carry
+        pose, opt, best_rot, best_tran, best_loss, overflow, nonfinite = carry
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(pose)
-        pose, opt = adam_step(
+        # NaN/inf-loss guard: a divergent iteration (bad frame data, a blown
+        # pose) must not poison the pose or the Adam moments — skip its
+        # update and keep optimizing from the last good state.
+        finite = jnp.isfinite(loss)
+        new_pose, new_opt = adam_step(
             pose, grads, opt, {"rot": lr_rot, "tran": lr_tran}, eps=1e-8
         )
-        better = loss < best_loss
+        pose, opt = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            (new_pose, new_opt), (pose, opt),
+        )
+        better = (loss < best_loss) & finite
         best_rot = jnp.where(better, pose["rot"], best_rot)
         best_tran = jnp.where(better, pose["tran"], best_tran)
         best_loss = jnp.where(better, loss, best_loss)
         overflow = overflow | out.overflow
-        return (pose, opt, best_rot, best_tran, best_loss, overflow), out.losses
+        nonfinite = nonfinite + (~finite).astype(jnp.int32)
+        carry = (pose, opt, best_rot, best_tran, best_loss, overflow, nonfinite)
+        return carry, out.losses
 
-    carry0 = (pose0, opt0, best0[0], best0[1], best0[2], jnp.bool_(False))
-    (pose, opt, best_rot, best_tran, best_loss, overflow), losses_hist = jax.lax.scan(
-        body, carry0, None, length=num_iters
-    )
+    carry0 = (pose0, opt0, best0[0], best0[1], best0[2], jnp.bool_(False),
+              jnp.int32(0))
+    (
+        (pose, opt, best_rot, best_tran, best_loss, overflow, nonfinite),
+        losses_hist,
+    ) = jax.lax.scan(body, carry0, None, length=num_iters)
     last_losses = jax.tree.map(lambda x: x[-1], losses_hist)
     return TrackResult(
         best_rot=best_rot,
@@ -170,4 +184,5 @@ def track_frame(
         final_rot=pose["rot"],
         final_tran=pose["tran"],
         opt=opt,
+        nonfinite=nonfinite,
     )

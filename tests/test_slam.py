@@ -149,6 +149,69 @@ def test_tracking_recovers_pose_perturbation():
     assert not bool(res.overflow)
 
 
+def test_nonfinite_loss_guard_skips_updates():
+    """A NaN loss (bad frame data) must not move the pose/map or the Adam
+    moments — the guards in track_frame/map_step skip the iteration and
+    report it (VERDICT aux: failure detection inside the optimization
+    loops)."""
+    from splatam_tpu.slam.mapping import init_mapping_optimizer, map_step
+
+    ds = SyntheticDataset(num_frames=2, width=96, height=64)
+    color, depth, k4, pose = ds[1]
+    pt_cld = np.concatenate([ds.means, ds.colors], axis=-1)
+    params, variables = initialize_params(
+        pt_cld, 2, (ds.scales[:, 0] ** 2), "isotropic"
+    )
+    gt_w2c = np.linalg.inv(pose)
+    from splatam_tpu.core.transforms import matrix_to_quaternion
+
+    rot0 = jnp.asarray(matrix_to_quaternion(jnp.asarray(gt_w2c[:3, :3])))
+    tran0 = jnp.asarray(gt_w2c[:3, 3].astype(np.float32))
+    nan_im = jnp.full((3, 64, 96), jnp.nan, jnp.float32)
+    dep = jnp.asarray(depth.transpose(2, 0, 1))
+    cfg = RasterConfig(max_instances=2**17, max_per_tile=512, chunk=64)
+
+    # tracking: unmasked sum-L1 on a NaN image -> NaN loss each iteration
+    res = track_frame(
+        params, variables["active"], rot0, tran0, nan_im, dep, ds._cam0, cfg,
+        num_iters=3, use_sil_for_loss=False,
+    )
+    assert int(res.nonfinite) == 3
+    np.testing.assert_array_equal(np.asarray(res.final_rot), np.asarray(rot0))
+    np.testing.assert_array_equal(np.asarray(res.final_tran), np.asarray(tran0))
+    # never accepted as a candidate (still the 1e20 init)
+    assert float(res.best_loss) == float(np.float32(1e20))
+
+    # mapping: 0.8*L1 + 0.2*DSSIM on the NaN image -> NaN loss
+    opt0 = init_mapping_optimizer(params)
+    result = map_step(
+        params, variables["active"], opt0, rot0, tran0, nan_im, dep,
+        ds._cam0, cfg,
+        lrs=(
+            ("means3D", 1e-4), ("rgb_colors", 2.5e-3),
+            ("unnorm_rotations", 1e-3), ("logit_opacities", 0.05),
+            ("log_scales", 1e-3),
+        ),
+    )
+    assert bool(result.nonfinite)
+    np.testing.assert_array_equal(
+        np.asarray(result.params["means3D"]), np.asarray(params["means3D"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(result.opt_state.mu["means3D"]),
+        np.asarray(opt0.mu["means3D"]),
+    )
+
+    # a clean frame must still update (the guard never blocks finite losses)
+    im = jnp.asarray(color.transpose(2, 0, 1) / 255.0)
+    res_ok = track_frame(
+        params, variables["active"], rot0, tran0, im, dep, ds._cam0, cfg,
+        num_iters=3, use_sil_for_loss=False,
+    )
+    assert int(res_ok.nonfinite) == 0
+    assert float(res_ok.best_loss) < 1e20
+
+
 def test_do_ba_map_step_updates_pose():
     """Bundle-adjustment mode (`get_loss` do_ba, `scripts/splatam.py:232`):
     map_step with do_ba=True must carry pose gradients and pull a perturbed
