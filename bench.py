@@ -51,7 +51,7 @@ def make_scene(n, w, h, seed=0):
     return params, jnp.ones(n, bool), cam
 
 
-def main():
+def main(reduction: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -74,6 +74,10 @@ def main():
         )
     )
     base = RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128)
+    if reduction is not None:  # A/B lever: `python bench.py perm|scatter|sort`
+        import dataclasses
+
+        base = dataclasses.replace(base, reduction=reduction)
     cfg0 = sized_config(total, base)
     # probe binning: the tile-alpha cull drops rect-corner instances, so the
     # post-cull stream / chunk-grid capacities (what kernels, gathers and
@@ -165,4 +169,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

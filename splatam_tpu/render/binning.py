@@ -41,6 +41,18 @@ class RasterConfig:
     # so sizing this to a measured `padded_total` is another ~10%.
     max_chunks: int | None = None
     backend: str = "auto"  # 'jnp' | 'pallas' | 'auto'
+    # Gradient-reduction strategy for the pallas backend (instance -> gaussian
+    # segment sums in the backward):
+    #   'sort'    — value-carrying sort by gaussian id + cumsum-diff (cost
+    #               scales with carried row count, ~0.6 ms/row at 1.2M)
+    #   'perm'    — binning precomputes each expansion slot's grid-output row
+    #               (slot_pos); backward = one row gather + cumsum with
+    #               analytic slot boundaries. No per-iteration sort; the
+    #               inversion sort happens at binning time (amortized by
+    #               rebin_every).
+    #   'scatter' — row scatter-add keyed by the kernels' gid row.
+    # All three are exact; see PROFILE.md for measurements.
+    reduction: str = "sort"
     # Unused since the aligned-window layout (chunk capacity is now exactly
     # max_instances/chunk + num_tiles and cannot overflow); kept so configs
     # that set it keep loading.
@@ -93,6 +105,13 @@ class BinnedCSR(NamedTuple):
     num_instances: jax.Array  # () int32 total instances emitted
     padded_total: jax.Array  # () int32 windowed stream length (used chunks)
     overflow: jax.Array  # () bool: instance buffer overflowed
+    # reduction='perm' only (None otherwise): per pre-cull expansion SLOT
+    # (gid-major contiguous), the grid-output row holding that instance's
+    # gradients in the backward kernel's (ROWS, NC*chunk) output — NC*chunk
+    # (the zero pad row) for culled/overflowed slots. Slot segment
+    # boundaries come from ``slot_off`` (inclusive cumsum of tiles_touched).
+    slot_pos: jax.Array | None = None  # (K,) int32
+    slot_off: jax.Array | None = None  # (N,) int32
 
 
 def sized_config(
@@ -138,6 +157,7 @@ def _expand_instances(
     cam: Camera,
     cfg: RasterConfig,
     opacities: jax.Array | None = None,
+    carry_slot: bool = False,
 ):
     """Instance expansion + per-tile alpha cull + (tile, depth) sort.
 
@@ -255,12 +275,22 @@ def _expand_instances(
         jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32),
         jnp.inf,
     )
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile_id.astype(jnp.int32), depth_key, gid_safe),
-        num_keys=2,
-        is_stable=True,
+    operands = (tile_id.astype(jnp.int32), depth_key, gid_safe)
+    if carry_slot:
+        # reduction='perm' needs the sort permutation itself (slot index of
+        # each sorted position) to precompute slot_pos; one extra carried
+        # operand costs ~0.6 ms at 1M rows, amortized by rebin_every.
+        out = jax.lax.sort(operands + (slot,), num_keys=2, is_stable=True)
+        sorted_tile, _, sorted_gid, sorted_slot = out
+    else:
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            operands, num_keys=2, is_stable=True
+        )
+        sorted_slot = None
+    return (
+        sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,
+        total_kept, kept_hist, offsets,
     )
-    return sorted_tile, sorted_gid, tile_id, total, num_tiles, total_kept, kept_hist
 
 
 def bin_gaussians_csr(
@@ -271,8 +301,11 @@ def bin_gaussians_csr(
 ) -> BinnedCSR:
     """Chunk-aligned-window binning for the Pallas flat-chunk-grid kernels."""
     chunk = cfg.chunk
-    sorted_tile, sorted_gid, tile_id, total, num_tiles, total_kept, kept_hist = (
-        _expand_instances(proj, cam, cfg, opacities)
+    (
+        sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,
+        total_kept, kept_hist, slot_off,
+    ) = _expand_instances(
+        proj, cam, cfg, opacities, carry_slot=cfg.reduction == "perm"
     )
     k = cfg.max_instances
     ks = cfg.max_stream or k  # post-cull stream capacity
@@ -323,6 +356,32 @@ def bin_gaussians_csr(
     chunk_meta = (chunk_tile << 1) | first
     chunk_lim = (skip.astype(jnp.int32) << 16) | lim.astype(jnp.int32)
 
+    slot_pos = None
+    if cfg.reduction == "perm":
+        # Grid-output column of each SORTED stream position p: position p
+        # lands in chunk c = chunk_off[tile] + (p//chunk - aligned_blk[tile])
+        # at window row p % chunk (windows are aligned blocks of the stream).
+        # Inverting through the sort permutation (sorted_slot) gives each
+        # pre-cull expansion slot its column — the backward's gradient gather
+        # indices — with culled / out-of-capacity slots sent to the zero pad
+        # column nc*chunk. All of this runs at BINNING time (amortized by
+        # rebin_every); the per-iteration reduction is then sort-free.
+        p = jnp.arange(k, dtype=jnp.int32)
+        t_safe = jnp.clip(sorted_tile, 0, num_tiles - 1)
+        ttable = jnp.stack([chunk_off[:-1], aligned_blk], axis=-1)  # (T, 2)
+        trow = ttable[t_safe]  # (K, 2) row gather from the small tile table
+        cpos = trow[:, 0] + (p // chunk - trow[:, 1])
+        outcol = jnp.where(
+            (sorted_tile < num_tiles) & (p < ks) & (cpos < used),
+            jnp.minimum(cpos * chunk + p % chunk, nc * chunk),
+            nc * chunk,
+        )
+        # invert the permutation with a 2-operand sort (a 1M element scatter
+        # costs ~15 ns/elem on TPU; the sort is ~2 ms)
+        _, slot_pos = jax.lax.sort(
+            (sorted_slot, outcol), num_keys=1, is_stable=False
+        )
+
     return BinnedCSR(
         sorted_gid=sorted_gid[:ks],
         chunk_blk=blk,
@@ -336,6 +395,8 @@ def bin_gaussians_csr(
         # count_instances' metric); the snugger stream/chunk capacities are
         # overflow-checked on what actually survived
         overflow=(total > k) | (total_kept > ks) | (used > nc),
+        slot_pos=slot_pos,
+        slot_off=slot_off if cfg.reduction == "perm" else None,
     )
 
 
@@ -345,9 +406,10 @@ def bin_gaussians(
     cfg: RasterConfig,
     opacities: jax.Array | None = None,
 ) -> Binned:
-    sorted_tile, sorted_gid, tile_id, total, num_tiles, total_kept, _ = (
-        _expand_instances(proj, cam, cfg, opacities)
-    )
+    (
+        sorted_tile, sorted_gid, _, tile_id, total, num_tiles, total_kept,
+        _, _,
+    ) = _expand_instances(proj, cam, cfg, opacities)
     k = cfg.max_instances
 
     # Per-tile ranges (identifyTileRanges analog) + bucket scatter. Counts by

@@ -825,8 +825,71 @@ def segment_reduce_by_key(
     return jnp.concatenate(full, axis=0)
 
 
+def segment_reduce_by_perm(
+    vals: jax.Array,  # (R, M) per-instance grad rows (grid-output layout)
+    slot_pos: jax.Array,  # (K,) grid-output column per pre-cull slot
+    slot_off: jax.Array,  # (N,) inclusive cumsum of tiles_touched
+    value_rows: tuple,
+) -> jax.Array:
+    """Sort-free instance->gaussian reduction using binning-precomputed
+    gather indices (RasterConfig.reduction='perm').
+
+    ``slot_pos`` holds, for each pre-cull expansion slot (gid-major
+    contiguous), the grid-output column of that instance's gradients — M for
+    culled/masked slots, which land on an appended zero row. One transpose +
+    row gather brings the rows into gid-major order; per-gaussian sums are
+    then cumsum + segment-boundary differences with ANALYTIC boundaries
+    (slot_off). Exactly equal to the sort path; the per-iteration sort is
+    replaced by gather traffic (~5.5 ns/idx), with the inversion sort paid
+    once per (re)binning.
+    """
+    r, m = vals.shape
+    sel = jnp.stack([vals[i] for i in value_rows], axis=0)  # (V, M)
+    gt = jnp.concatenate(
+        [sel.T, jnp.zeros((1, len(value_rows)), jnp.float32)], axis=0
+    )  # (M+1, V); row M = pad
+    idx = jax.lax.optimization_barrier(slot_pos)
+    rows = jnp.take(gt, idx, axis=0)  # (K, V) gid-major
+    rows = jax.lax.optimization_barrier(rows)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, len(value_rows)), jnp.float32), jnp.cumsum(rows, axis=0)],
+        axis=0,
+    )  # (K+1, V); cs[j] = sum of first j rows
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), slot_off[:-1]])
+    seg = jnp.take(cs, slot_off, axis=0) - jnp.take(cs, starts, axis=0)  # (N, V)
+    n = slot_off.shape[0]
+    full = [jnp.zeros((1, n), jnp.float32)] * r
+    for j, i in enumerate(value_rows):
+        full[i] = seg[:, j : j + 1].T
+    return jnp.concatenate(full, axis=0)
+
+
+def segment_reduce_by_scatter(
+    vals: jax.Array,  # (R, M) per-instance rows, key row = gaussian id
+    key_row: int,
+    n: int,
+    value_rows: tuple,
+) -> jax.Array:
+    """Row scatter-add keyed by the kernels' gid row (reduction='scatter').
+
+    Measured ~15 ns/row at 1.2M on v5e — kept for the measurement matrix
+    (PROFILE.md), not as a production path.
+    """
+    r, m = vals.shape
+    key = vals[key_row]
+    idx = jnp.where(key < BIG_KEY, key, float(n)).astype(jnp.int32)
+    sel = jnp.stack([vals[i] for i in value_rows], axis=0)  # (V, M)
+    acc = jnp.zeros((n + 1, len(value_rows)), jnp.float32)
+    acc = acc.at[idx].add(sel.T, mode="drop")
+    full = [jnp.zeros((1, n), jnp.float32)] * r
+    for j, i in enumerate(value_rows):
+        full[i] = acc[:n, j : j + 1].T
+    return jnp.concatenate(full, axis=0)
+
+
 @functools.lru_cache(maxsize=32)
-def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret):
+def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
+                    reduction="sort"):
     """custom-vjp'd rasterize: (N, ROWS) attrs -> (color, aux) per tile.
 
     The vjp boundary sits at the per-gaussian attribute table, so neither
@@ -842,26 +905,37 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret):
     )
 
     @jax.custom_vjp
-    def raster(attrs, hist, sorted_gid, meta, lim, blk):
+    def raster(attrs, hist, sorted_gid, meta, lim, blk, slot_pos, slot_off):
         stream = _build_stream(attrs, sorted_gid, chunk)
         return fwd_call(meta, lim, blk, stream, _phi_pow())
 
-    def raster_fwd(attrs, hist, sorted_gid, meta, lim, blk):
+    def raster_fwd(attrs, hist, sorted_gid, meta, lim, blk, slot_pos, slot_off):
         stream = _build_stream(attrs, sorted_gid, chunk)
         color, aux = fwd_call(meta, lim, blk, stream, _phi_pow())
-        return (color, aux), (stream, hist, meta, lim, blk, color, aux)
+        return (color, aux), (
+            stream, hist, meta, lim, blk, slot_pos, slot_off, color, aux,
+        )
 
     def raster_bwd(res, g):
-        stream, hist, meta, lim, blk, color, aux = res
+        stream, hist, meta, lim, blk, slot_pos, slot_off, color, aux = res
         g_color, g_aux = g
         (ginst,) = bwd_call(
             meta, lim, blk, stream, _phi_pow(), _phi_mom(),
             g_color, g_aux, color, aux,
         )
-        per_gauss = segment_reduce_by_key(
-            ginst, ROW_GID, hist, value_rows
-        )  # (ROWS, N)
-        return per_gauss.T, None, None, None, None, None
+        if reduction == "perm":
+            per_gauss = segment_reduce_by_perm(
+                ginst, slot_pos, slot_off, value_rows
+            )
+        elif reduction == "scatter":
+            per_gauss = segment_reduce_by_scatter(
+                ginst, ROW_GID, hist.shape[0], value_rows
+            )
+        else:
+            per_gauss = segment_reduce_by_key(
+                ginst, ROW_GID, hist, value_rows
+            )  # (ROWS, N)
+        return per_gauss.T, None, None, None, None, None, None, None
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster
@@ -964,15 +1038,24 @@ def rasterize_tiles_pallas(
     chunk: int,
     interpret: bool | None = None,
     nfeat: int = NFEAT_PAD - 2,
+    reduction: str = "sort",
 ) -> PallasRasterOut:
     """Run the Pallas per-chunk compositing kernels (differentiable)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if reduction == "perm" and binned.slot_pos is None:
+        # a cached BinnedCSR from a 'sort' config has no slot indices
+        reduction = "sort"
     nc = binned.chunk_meta.shape[0]
-    fn = _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret)
+    fn = _make_raster_fn(
+        nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction
+    )
+    dummy = jnp.zeros(1, jnp.int32)
     color, aux = fn(
         attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
         binned.chunk_lim, binned.chunk_blk,
+        binned.slot_pos if reduction == "perm" else dummy,
+        binned.slot_off if reduction == "perm" else dummy,
     )
     # every tile (including empty ones) gets an initializing grid step
     # (binning emits a zero-lim chunk per empty tile), so the outputs are

@@ -255,7 +255,8 @@ def _rasterize_pallas(
     nfeat = colors.shape[-1]
     attrs = pack_attrs(blend_xy, proj.conic, opacities, proj.depths, colors)
     res = rasterize_tiles_pallas(
-        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, nfeat=nfeat
+        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, nfeat=nfeat,
+        reduction=cfg.reduction,
     )
 
     # Convert the full 8-channel blocks to image layout FIRST and do all

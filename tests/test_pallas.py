@@ -90,6 +90,41 @@ def test_pallas_gradients_match_jnp():
         )
 
 
+@pytest.mark.parametrize("reduction", ["perm", "scatter"])
+def test_pallas_reduction_modes_match_sort(reduction):
+    """The sort-free gradient reductions (RasterConfig.reduction) are exact
+    re-associations of the default sort path — agreement at rounding noise."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    means, colors, opacities, scales, quats, cam = make_scene(rng, n=60, w=64, h=48)
+    args = [
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats),
+    ]
+
+    def make_loss(cfg):
+        def loss(m, c, o, s, q):
+            out, _ = rasterize_tiled(m, c, o, s, q, cam, cfg=cfg)
+            return (
+                jnp.sum(out.color**2) + jnp.sum(out.depth)
+                + jnp.sum(out.final_t**2)
+            )
+        return loss
+
+    g_sort = jax.grad(make_loss(CFG_PAL), argnums=tuple(range(5)))(*args)
+    cfg = dataclasses.replace(CFG_PAL, reduction=reduction)
+    g_alt = jax.grad(make_loss(cfg), argnums=tuple(range(5)))(*args)
+    for gr, gp, name in zip(
+        g_sort, g_alt, ["means", "colors", "opac", "scales", "quats"]
+    ):
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(gp) / scale, np.asarray(gr) / scale, atol=2e-4,
+            err_msg=name,
+        )
+
+
 def test_pallas_means2d_dummy_gradient():
     rng = np.random.default_rng(4)
     means, colors, opacities, scales, quats, cam = make_scene(rng, n=20, w=48, h=32)
