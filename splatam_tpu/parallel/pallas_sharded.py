@@ -23,7 +23,6 @@ from splatam_tpu.render.binning import RasterConfig, bin_gaussians_csr
 from splatam_tpu.render.camera import Camera
 from splatam_tpu.render.geometry import TILE, preprocess
 from splatam_tpu.render.pallas_raster import (
-    NFEAT_PAD,
     pack_attrs,
     rasterize_tiles_pallas,
 )
@@ -113,15 +112,16 @@ def rasterize_rows_sharded(
                 [bg_full, jnp.zeros(nfeat - bg_full.shape[0], bg_full.dtype)]
             )[:nfeat]
 
-        def to_image(tiles_flat, channels):
-            img = tiles_flat.reshape(gyl, grid_x, TILE, TILE, channels)
-            return img.transpose(4, 0, 2, 1, 3).reshape(
+        def to_image(blocks):  # (T, C, 256) channel-major, see PallasRasterOut
+            channels = blocks.shape[1]
+            img = blocks.reshape(gyl, grid_x, channels, TILE, TILE)
+            return img.transpose(2, 0, 3, 1, 4).reshape(
                 channels, gyl * TILE, grid_x * TILE
             )[:, :, : cam.image_width]
 
         # image layout first, channel slicing after (see PallasRasterOut)
-        color_img = to_image(res.color, NFEAT_PAD)
-        aux_img = to_image(res.aux, 8)
+        color_img = to_image(res.color)
+        aux_img = to_image(res.aux)
         final_t = aux_img[1]
         color_out = color_img[:nfeat] + final_t[None] * bg_full[:, None, None]
         depth_out = jnp.where(aux_img[0] > 0.0, aux_img[0], MEDIAN_DEPTH_INIT)

@@ -313,6 +313,14 @@ def _meta(meta_ref, lim_ref, c):
     return m >> 1, m & 1, sl >> 16, sl & 0xFFFF  # tile, first, skip, lim
 
 
+def _is_last(meta_ref, c, nc):
+    """1 iff chunk ``c`` is its tile's last: the next chunk starts a new tile
+    (its ``first`` bit is set) or there is no next chunk. Lets the kernels
+    write per-tile outputs once per tile instead of every grid step."""
+    nxt = meta_ref[jnp.minimum(c + 1, nc - 1)]
+    return jnp.where(c == nc - 1, 1, nxt & 1)
+
+
 def _row_key(blk, skip, lim, run, chunk):
     """Reduction key per window row: the gaussian id for valid rows, BIG_KEY
     for masked/foreign rows (they then sort past every real gaussian)."""
@@ -330,8 +338,8 @@ def _fwd_kernel(
     blk_ref,  # scalar-prefetch (NC,) int32 stream block index per chunk
     inst_ref,  # (ROWS, chunk) VMEM window of the sorted stream
     phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
-    color_ref,  # (1, NPIX, NFEAT_PAD) block of the owning tile
-    aux_ref,  # (1, NPIX, 8): 0=median depth, 1=final T
+    color_ref,  # (1, NFEAT_PAD, NPIX) block of the owning tile (channel-major)
+    aux_ref,  # (1, 8, NPIX): row 0=median depth, row 1=final T
     t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance
     dead_sc,  # (NPIX, 1) f32 scratch: 0/1 dead mask
     depth_sc,  # (NPIX, 1) f32 scratch: median depth accumulator
@@ -341,6 +349,7 @@ def _fwd_kernel(
     chunk: int,
 ):
     c = pl.program_id(0)
+    nc = pl.num_programs(0)
     t, first, skip, lim = _meta(meta_ref, lim_ref, c)
 
     @pl.when(first == 1)
@@ -348,7 +357,7 @@ def _fwd_kernel(
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
         dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         depth_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
-        color_ref[0] = jnp.zeros((NPIX, NFEAT_PAD), jnp.float32)
+        color_ref[0] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
         alive_sc[0] = 1
 
     # early exit once the whole tile is saturated — the CUDA kernel's
@@ -372,8 +381,11 @@ def _fwd_kernel(
 
         w = jnp.where(live, alpha * t_before, 0.0)
         feats = blk[ROW_FEAT0:, :]  # (NFEAT_PAD, C)
+        # channel-major accumulation: (F, C) @ (C, P) — same MXU work as the
+        # old (P, C) @ (C, F) but the output block needs no layout fix-up
+        # downstream (8-lane-minor blocks cost ~1 ms per XLA-side op)
         color_ref[0] += jax.lax.dot_general(
-            w, feats, (((1,), (1,)), ((), ())),
+            feats, w, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
@@ -387,9 +399,13 @@ def _fwd_kernel(
         dead_sc[:] = new_dead
         alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
 
-    aux_ref[0] = jnp.concatenate(
-        [depth_sc[:], t_run_sc[:], jnp.zeros((NPIX, 6), jnp.float32)], axis=1
-    )
+    # one aux write + one (NPIX, 2) transpose per TILE, not per step
+    @pl.when(_is_last(meta_ref, c, nc) == 1)
+    def _():
+        dt = jnp.concatenate([depth_sc[:], t_run_sc[:]], axis=1).T  # (2, NPIX)
+        aux_ref[0] = jnp.concatenate(
+            [dt, jnp.zeros((6, NPIX), jnp.float32)], axis=0
+        )
 
 
 def _bwd_kernel(
@@ -399,10 +415,10 @@ def _bwd_kernel(
     inst_ref,  # (ROWS, chunk)
     phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
     phim_ref,  # (NPIX, 24) bf16 constant moment basis (_phi_mom_host)
-    gcolor_ref,  # (1, NPIX, NFEAT_PAD) upstream dL/d color accumulator
-    gaux_ref,  # (1, NPIX, 8): 0=dL/d median depth, 1=dL/d final T
-    rescolor_ref,  # (1, NPIX, NFEAT_PAD) forward color accumulator
-    resaux_ref,  # (1, NPIX, 8) forward aux (final T at channel 1)
+    gcolor_ref,  # (1, NFEAT_PAD, NPIX) upstream dL/d color accumulator
+    gaux_ref,  # (1, 8, NPIX): row 0=dL/d median depth, row 1=dL/d final T
+    rescolor_ref,  # (1, NFEAT_PAD, NPIX) forward color accumulator
+    resaux_ref,  # (1, 8, NPIX) forward aux (final T at row 1)
     ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
     t_run_sc,
     dead_sc,
@@ -440,11 +456,30 @@ def _bwd_kernel(
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
-        g_color = gcolor_ref[0]  # (NPIX, NFEAT_PAD)
-        g_depth = gaux_ref[0][:, 0:1]
-        g_tfin = gaux_ref[0][:, 1:2]
-        t_final = resaux_ref[0][:, 1:2]
-        gtot = jnp.sum(rescolor_ref[0] * g_color, axis=1, keepdims=True)
+        g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
+        # per-pixel COLUMNS from the channel-major blocks via tiny one-hot
+        # matmuls — a (8, NPIX) row -> (NPIX, 1) column relayout would
+        # otherwise cost a Mosaic transpose every grid step
+        def _col(block8, row):
+            e = (
+                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
+            ).astype(jnp.float32)
+            return jax.lax.dot_general(
+                block8, e, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (NPIX, 1)
+
+        g_depth = _col(gaux_ref[0], 0)
+        g_tfin = _col(gaux_ref[0], 1)
+        t_final = _col(resaux_ref[0], 1)
+        gtot = jax.lax.dot_general(
+            rescolor_ref[0] * g_color,
+            jnp.ones((NFEAT_PAD, 1), jnp.float32),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, 1) = per-pixel sum over channels
 
         tri = _triangular(chunk)
         log1m = jnp.log1p(-alpha)
@@ -455,9 +490,9 @@ def _bwd_kernel(
         w = jnp.where(live, alpha * t_before, 0.0)
 
         feats = blk[ROW_FEAT0:, :]  # (NFEAT_PAD, C)
-        # gc[p, j] = sum_f g[p, f] * feat[f, j]
+        # gc[p, j] = sum_f g[f, p] * feat[f, j]
         gc = jax.lax.dot_general(
-            g_color, feats, (((1,), (0,)), ((), ())),
+            g_color, feats, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
@@ -531,9 +566,9 @@ def _bwd_kernel(
             ],
             axis=0,
         )
-        # dL/dfeat[f, j] = sum_p g[p, f] * w[p, j]
+        # dL/dfeat[f, j] = sum_p g[f, p] * w[p, j]
         gfeat = jax.lax.dot_general(
-            g_color, w, (((0,), (0,)), ((), ())),
+            g_color, w, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (NFEAT_PAD, C)
@@ -607,8 +642,14 @@ def _fisher_kernel(
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
-        g_color = gcolor_ref[0]
-        gtot = jnp.sum(rescolor_ref[0] * g_color, axis=1, keepdims=True)
+        g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
+        gtot = jax.lax.dot_general(
+            rescolor_ref[0] * g_color,
+            jnp.ones((NFEAT_PAD, 1), jnp.float32),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, 1) per-pixel channel sum
 
         tri = _triangular(chunk)
         log1m = jnp.log1p(-alpha)
@@ -620,7 +661,7 @@ def _fisher_kernel(
 
         feats = blk[ROW_FEAT0:, :]
         gc = jax.lax.dot_general(
-            g_color, feats, (((1,), (0,)), ((), ())),
+            g_color, feats, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
@@ -703,14 +744,14 @@ def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret):
             grid=(nc,),
             in_specs=[_stream_spec(chunk), _const_spec(27)],
             out_specs=[
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
-                pl.BlockSpec((1, NPIX, 8), _tile_of),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
+                pl.BlockSpec((1, 8, NPIX), _tile_of),
             ],
             scratch_shapes=_common_scratch(),
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, NPIX, NFEAT_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -727,10 +768,10 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret):
                 _stream_spec(chunk),
                 _const_spec(27),
                 _const_spec(24),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
-                pl.BlockSpec((1, NPIX, 8), _tile_of),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
-                pl.BlockSpec((1, NPIX, 8), _tile_of),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
+                pl.BlockSpec((1, 8, NPIX), _tile_of),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
+                pl.BlockSpec((1, 8, NPIX), _tile_of),
             ],
             out_specs=[_out_chunk_spec(ROWS, chunk)],
             scratch_shapes=_common_scratch(),
@@ -749,9 +790,9 @@ def _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret):
             grid=(nc,),
             in_specs=[
                 _stream_spec(chunk),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
-                pl.BlockSpec((1, NPIX, NFEAT_PAD), _tile_of),
-                pl.BlockSpec((1, NPIX, 8), _tile_of),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
+                pl.BlockSpec((1, 8, NPIX), _tile_of),
             ],
             out_specs=[_out_chunk_spec(FROWS, chunk)],
             scratch_shapes=_common_scratch(),
@@ -942,17 +983,17 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
 
 
 class PallasRasterOut(NamedTuple):
-    """Raw per-tile kernel outputs.
+    """Raw per-tile kernel outputs, CHANNEL-MAJOR.
 
-    Callers should convert these to image layout BEFORE slicing channels:
-    the (T, NPIX, 8) blocks put the 8 channels in the minor (lane) dim,
-    where per-channel slices/pads cost ~1 ms each at SLAM scale, while the
-    same slices on (8, H, W) images are free.
+    (T, 8, NPIX) blocks keep the 256 pixels on the minor (lane) dim, so
+    per-channel slicing and the tiles->image reshuffle are lane-dense (the
+    previous (T, NPIX, 8) layout used 8 of 128 lanes — each XLA-side
+    slice/pad/transpose on it cost ~1 ms at SLAM scale).
     """
 
-    color: jax.Array  # (T, NPIX, NFEAT_PAD) accumulated (no background)
-    aux: jax.Array  # (T, NPIX, 8): 0 = median-depth accum (0 where unset),
-    # 1 = final transmittance, rest zero
+    color: jax.Array  # (T, NFEAT_PAD, NPIX) accumulated (no background)
+    aux: jax.Array  # (T, 8, NPIX): row 0 = median-depth accum (0 where
+    # unset), row 1 = final transmittance, rest zero
 
 
 def pack_attrs(
@@ -1019,7 +1060,7 @@ def fisher_moments(
         binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
         _phi_pow(),
     )
-    g_color = jnp.broadcast_to(seed[None, None, :], color.shape)
+    g_color = jnp.broadcast_to(seed[None, :, None], color.shape)
     (per_inst,) = fish_call(
         binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
         g_color, color, aux,

@@ -243,6 +243,14 @@ def _tiles_to_image(tiles_flat, grid_x, grid_y, cam, channels=None):
     return img[:, : cam.image_height, : cam.image_width]
 
 
+def _blocks_to_image(blocks, grid_x, grid_y, cam):
+    """(T, C, 256) channel-major tile blocks -> (C, H, W) image."""
+    c = blocks.shape[1]
+    img = blocks.reshape(grid_y, grid_x, c, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(c, grid_y * TILE, grid_x * TILE)
+    return img[:, : cam.image_height, : cam.image_width]
+
+
 def _rasterize_pallas(
     proj, binned, blend_xy, colors, opacities, cam, cfg, grid_x, grid_y
 ) -> tuple[RenderOutput, RenderAux]:
@@ -260,13 +268,13 @@ def _rasterize_pallas(
     )
 
     # Convert the full 8-channel blocks to image layout FIRST and do all
-    # channel slicing / bg compose / masking there: per-channel ops on the
-    # (T, 256, 8) block layout (8-wide minor dim) cost ~1 ms each at SLAM
-    # scale, the same ops on (8, H, W) images are ~free.
+    # channel slicing / bg compose / masking there: the kernels emit
+    # channel-major (T, 8, 256) blocks (PallasRasterOut), so both this
+    # reshuffle and per-channel slices are lane-dense.
     from splatam_tpu.render.pallas_raster import NFEAT_PAD
 
-    color_img = _tiles_to_image(res.color, grid_x, grid_y, cam, NFEAT_PAD)
-    aux_img = _tiles_to_image(res.aux, grid_x, grid_y, cam, 8)
+    color_img = _blocks_to_image(res.color, grid_x, grid_y, cam)
+    aux_img = _blocks_to_image(res.aux, grid_x, grid_y, cam)
     final_t = aux_img[1]
 
     bg = cam.bg
