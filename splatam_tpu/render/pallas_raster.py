@@ -424,6 +424,9 @@ def _bwd_kernel(
     dead_sc,
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
     alive_sc,
+    gdep_sc,  # (NPIX, 1) per-tile constant: dL/d median depth column
+    gtt_sc,  # (NPIX, 1) per-tile constant: dL/d final T * final T
+    gtot_sc,  # (NPIX, 1) per-tile constant: sum_f rescolor * gcolor
     *,
     grid_x: int,
     chunk: int,
@@ -437,6 +440,31 @@ def _bwd_kernel(
         dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
+
+        # per-TILE constants, hoisted out of the per-chunk body (tiles
+        # average only a few chunks, but these are 4 of the ~13 MXU issues
+        # a step would otherwise make). Per-pixel COLUMNS come out of the
+        # channel-major blocks via tiny one-hot matmuls — a (8, NPIX) row ->
+        # (NPIX, 1) column relayout would otherwise be a Mosaic transpose.
+        def _col(block8, row):
+            e = (
+                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
+            ).astype(jnp.float32)
+            return jax.lax.dot_general(
+                block8, e, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (NPIX, 1)
+
+        gdep_sc[:] = _col(gaux_ref[0], 0)
+        gtt_sc[:] = _col(gaux_ref[0], 1) * _col(resaux_ref[0], 1)
+        gtot_sc[:] = jax.lax.dot_general(
+            rescolor_ref[0] * gcolor_ref[0],
+            jnp.ones((NFEAT_PAD, 1), jnp.float32),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, 1) = per-pixel sum over channels
 
     run = (lim > skip) & (alive_sc[0] == 1)
 
@@ -457,29 +485,9 @@ def _bwd_kernel(
         dead = dead_sc[:]
 
         g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
-        # per-pixel COLUMNS from the channel-major blocks via tiny one-hot
-        # matmuls — a (8, NPIX) row -> (NPIX, 1) column relayout would
-        # otherwise cost a Mosaic transpose every grid step
-        def _col(block8, row):
-            e = (
-                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
-            ).astype(jnp.float32)
-            return jax.lax.dot_general(
-                block8, e, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (NPIX, 1)
-
-        g_depth = _col(gaux_ref[0], 0)
-        g_tfin = _col(gaux_ref[0], 1)
-        t_final = _col(resaux_ref[0], 1)
-        gtot = jax.lax.dot_general(
-            rescolor_ref[0] * g_color,
-            jnp.ones((NFEAT_PAD, 1), jnp.float32),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (NPIX, 1) = per-pixel sum over channels
+        g_depth = gdep_sc[:]
+        gtt = gtt_sc[:]
+        gtot = gtot_sc[:]
 
         tri = _triangular(chunk)
         log1m = jnp.log1p(-alpha)
@@ -504,7 +512,7 @@ def _bwd_kernel(
         one_minus = jnp.maximum(1.0 - alpha, 1e-12)
         dalpha = jnp.where(
             live,
-            t_before * gc - (suffix + g_tfin * t_final) / one_minus,
+            t_before * gc - (suffix + gtt) / one_minus,
             0.0,
         )
         # clamp gates: d alpha/d raw = 1 only below the 0.99 cap; `keep`
@@ -588,14 +596,15 @@ def _fisher_kernel(
     lim_ref,
     blk_ref,
     inst_ref,  # (ROWS, chunk)
-    gcolor_ref,  # (1, NPIX, NFEAT_PAD) seed dL/d color (e.g. 1e-3 on RGB)
-    rescolor_ref,  # (1, NPIX, NFEAT_PAD) forward color accumulator
-    resaux_ref,  # (1, NPIX, 8) forward aux
+    gcolor_ref,  # (1, NFEAT_PAD, NPIX) seed dL/d color (e.g. 1e-3 on RGB)
+    rescolor_ref,  # (1, NFEAT_PAD, NPIX) forward color accumulator
+    resaux_ref,  # (1, 8, NPIX) forward aux
     fish_ref,  # (FROWS, chunk) out: 15 moments + sum dop^2 + key row
     t_run_sc,
     dead_sc,
     accwgc_sc,
     alive_sc,
+    gtot_sc,  # (NPIX, 1) per-tile constant: sum_f rescolor * gcolor
     *,
     grid_x: int,
     chunk: int,
@@ -622,6 +631,13 @@ def _fisher_kernel(
         dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
+        gtot_sc[:] = jax.lax.dot_general(
+            rescolor_ref[0] * gcolor_ref[0],
+            jnp.ones((NFEAT_PAD, 1), jnp.float32),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, 1) per-pixel channel sum — per-tile constant
 
     run = (lim > skip) & (alive_sc[0] == 1)
 
@@ -643,13 +659,7 @@ def _fisher_kernel(
         dead = dead_sc[:]
 
         g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
-        gtot = jax.lax.dot_general(
-            rescolor_ref[0] * g_color,
-            jnp.ones((NFEAT_PAD, 1), jnp.float32),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (NPIX, 1) per-pixel channel sum
+        gtot = gtot_sc[:]
 
         tri = _triangular(chunk)
         log1m = jnp.log1p(-alpha)
@@ -774,7 +784,8 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret):
                 pl.BlockSpec((1, 8, NPIX), _tile_of),
             ],
             out_specs=[_out_chunk_spec(ROWS, chunk)],
-            scratch_shapes=_common_scratch(),
+            scratch_shapes=_common_scratch()
+            + [pltpu.VMEM((NPIX, 1), jnp.float32)] * 3,
         ),
         out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
         interpret=interpret,
@@ -795,7 +806,8 @@ def _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret):
                 pl.BlockSpec((1, 8, NPIX), _tile_of),
             ],
             out_specs=[_out_chunk_spec(FROWS, chunk)],
-            scratch_shapes=_common_scratch(),
+            scratch_shapes=_common_scratch()
+            + [pltpu.VMEM((NPIX, 1), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((FROWS, nc * chunk), jnp.float32)],
         interpret=interpret,
