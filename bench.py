@@ -51,7 +51,7 @@ def make_scene(n, w, h, seed=0):
     return params, jnp.ones(n, bool), cam
 
 
-def main(reduction: str | None = None):
+def main(mode: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -74,10 +74,16 @@ def main(reduction: str | None = None):
         )
     )
     base = RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128)
-    if reduction is not None:  # A/B lever: `python bench.py perm|scatter|sort`
+    if mode:  # A/B lever: `python bench.py perm+roll` etc.
         import dataclasses
 
-        base = dataclasses.replace(base, reduction=reduction)
+        for tok in mode.split("+"):
+            if tok in ("sort", "perm", "scatter"):
+                base = dataclasses.replace(base, reduction=tok)
+            elif tok in ("mxu", "roll"):
+                base = dataclasses.replace(base, scan_impl=tok)
+            else:
+                raise SystemExit(f"unknown bench mode token: {tok}")
     cfg0 = sized_config(total, base)
     # probe binning: the tile-alpha cull drops rect-corner instances, so the
     # post-cull stream / chunk-grid capacities (what kernels, gathers and
@@ -85,7 +91,7 @@ def main(reduction: str | None = None):
     from splatam_tpu.core.losses import compute_binned as _cb
 
     probe = _cb(params, active, rot, tran, cam, cfg0)
-    cfg = sized_config(
+    cfg1 = sized_config(
         total,
         base,
         num_kept=int(probe.num_instances),
@@ -94,6 +100,30 @@ def main(reduction: str | None = None):
 
     gt_im = jnp.zeros((3, h, w), jnp.float32)
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
+
+    # saturation-trim sizing: render once at cfg1 to measure each tile's
+    # saturation depth, re-bin with the cap, and size the production config
+    # to the TRIMMED stream (instances past a fully-opaque front contribute
+    # exactly nothing — binning.depth_cap)
+    probe_loss = jax.jit(
+        lambda g, binned: slam_loss(
+            dict(params, **g), active, rot, tran, gt_im, gt_depth, cam, cfg1,
+            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
+            use_sil_for_loss=False, sil_thres=0.5,
+            ignore_outlier_depth_loss=False, binned=binned,
+        )
+    )
+    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
+    probe_out = probe_loss(gauss, _cb(params, active, rot, tran, cam, cfg1))
+    assert not bool(probe_out.overflow), "probe capacity overflow — sizing bug"
+    sat0 = probe_out.sat_depth
+    probe2 = _cb(params, active, rot, tran, cam, cfg1, sat0)
+    cfg = sized_config(
+        total,
+        base,
+        num_kept=int(probe2.num_instances),
+        chunks_used=int(probe2.padded_total) // base.chunk,
+    )
 
     def loss_fn(gauss, binned=None):
         p = dict(params)
@@ -105,53 +135,61 @@ def main(reduction: str | None = None):
             ignore_outlier_depth_loss=False,
             binned=binned,
         )
-        return out.loss
+        return out.loss, out.sat_depth
 
-    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
     iters = 10
     # the SLAM driver's shipped iteration behavior: binning frozen for
     # rebin_every consecutive steps, then recomputed at the current params
-    # (slam/pipeline.py); the re-bin cost lands inside the measured loop
+    # and the latest render's saturation caps (slam/pipeline.py); the re-bin
+    # cost lands inside the measured loop
     rebin_every = 10
 
     from splatam_tpu.core.losses import compute_binned
 
-    def bin_now(g):
+    def bin_now(g, sat):
         p = dict(params)
         p.update(g)
-        return compute_binned(p, active, rot, tran, cam, cfg)
+        return compute_binned(p, active, rot, tran, cam, cfg, sat)
 
     @jax.jit
-    def run(gauss):
+    def run(gauss, sat0):
         # chained fori_loop: one dispatch, real data dependency between
         # iterations, so the measurement is device time (the tunneled-TPU
         # environment adds ~35ms host round-trip per dispatch otherwise)
         def body(i, carry):
-            g, binned = carry
+            g, binned, sat = carry
             binned = jax.lax.cond(
-                i % rebin_every == 0, lambda b: bin_now(g), lambda b: b, binned
+                i % rebin_every == 0,
+                lambda b: bin_now(g, sat), lambda b: b, binned,
             )
-            loss, grads = jax.value_and_grad(loss_fn)(g, binned)
-            return (jax.tree.map(lambda p, d: p + 1e-20 * d, g, grads), binned)
+            (loss, sat), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                g, binned
+            )
+            return (
+                jax.tree.map(lambda p, d: p + 1e-20 * d, g, grads), binned, sat
+            )
 
-        out, binned = jax.lax.fori_loop(0, iters, body, (gauss, bin_now(gauss)))
-        return loss_fn(out, binned)
+        out, binned, _ = jax.lax.fori_loop(
+            0, iters, body, (gauss, bin_now(gauss, sat0), sat0)
+        )
+        return loss_fn(out, binned)[0]
 
-    # warmup / compile; also verify the pre-sized capacity didn't overflow
+    # warmup / compile; also verify the trimmed capacity didn't overflow
     out0 = jax.jit(
-        lambda g: slam_loss(
+        lambda g, sat: slam_loss(
             dict(params, **g), active, rot, tran, gt_im, gt_depth, cam, cfg,
             tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
             use_sil_for_loss=False, sil_thres=0.5,
             ignore_outlier_depth_loss=False,
+            binned=bin_now(g, sat),
         ).overflow
-    )(gauss)
+    )(gauss, sat0)
     assert not bool(out0), "instance capacity overflow — sizing bug"
-    loss = run(gauss)
+    loss = run(gauss, sat0)
     assert np.isfinite(float(loss))
 
     t0 = time.perf_counter()
-    loss = run(gauss)
+    loss = run(gauss, sat0)
     _ = float(loss)
     dt = time.perf_counter() - t0
 

@@ -111,6 +111,9 @@ class LossOutput(NamedTuple):
     im: jax.Array  # rendered rgb (3, H, W)
     depth: jax.Array  # rendered depth channel (1, H, W)
     silhouette: jax.Array  # (H, W)
+    # (num_tiles,) per-tile saturation depth from the render (pallas backend;
+    # None on the jnp path) — pass to the next compute_binned(depth_cap=)
+    sat_depth: jax.Array | None = None
 
 
 def render_for_loss(
@@ -164,6 +167,7 @@ def compute_binned(
     cam_tran: jax.Array,
     cam: Camera,
     cfg: RasterConfig,
+    depth_cap: jax.Array | None = None,
 ):
     """Bin the scene at the given pose/params (pallas backend).
 
@@ -192,6 +196,7 @@ def compute_binned(
     return bin_gaussians_csr(
         jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg,
         opacities=jax.nn.sigmoid(params["logit_opacities"]),
+        depth_cap=depth_cap,
     )
 
 
@@ -318,4 +323,5 @@ def slam_loss(
         im=im,
         depth=depth,
         silhouette=silhouette,
+        sat_depth=aux.sat_depth,
     )

@@ -53,6 +53,14 @@ class RasterConfig:
     #   'scatter' — row scatter-add keyed by the kernels' gid row.
     # All three are exact; see PROFILE.md for measurements.
     reduction: str = "sort"
+    # In-kernel transmittance evaluation (pallas backend):
+    #   'mxu'  — log1p -> bf16x3 triangular-matmul cumsum -> exp (3
+    #            transcendentals per (pixel, gaussian) pair)
+    #   'roll' — Hillis-Steele lane-roll cumprod in plain f32 products (the
+    #            alpha exp is the only remaining transcendental per pair).
+    # Both are exact re-associations of the same recursion (tests pin them
+    # against the jnp oracle); see PROFILE.md for on-chip timings.
+    scan_impl: str = "mxu"
     # Unused since the aligned-window layout (chunk capacity is now exactly
     # max_instances/chunk + num_tiles and cannot overflow); kept so configs
     # that set it keep loading.
@@ -151,6 +159,12 @@ def sized_config(
 # backed off by this much in power units before dropping an instance.
 CULL_EPS = 1e-3
 
+# Multiplicative headroom on the per-tile saturation-depth cap (depth_cap):
+# the cap comes from a render at slightly different params (the previous
+# iteration / rebin point), so instances within this factor of the measured
+# cap are kept even though that render never reached them.
+SAT_MARGIN = 1.05
+
 
 def _expand_instances(
     proj: Projected,
@@ -158,6 +172,7 @@ def _expand_instances(
     cfg: RasterConfig,
     opacities: jax.Array | None = None,
     carry_slot: bool = False,
+    depth_cap: jax.Array | None = None,
 ):
     """Instance expansion + per-tile alpha cull + (tile, depth) sort.
 
@@ -181,6 +196,15 @@ def _expand_instances(
     scales with that stream. ``opacities=None`` assumes op=1 (distance-only
     cull). Returns per-gaussian SURVIVING instance counts alongside the
     sorted stream.
+
+    ``depth_cap`` ((num_tiles,) f32, +inf = uncapped) additionally drops
+    instances deeper than SAT_MARGIN x the tile's cap. Fed from a previous
+    render's saturation depth (PallasRasterOut aux row 2): every pixel of
+    the tile was opaque before the cap was reached, so at those params the
+    dropped instances contributed exactly nothing (the per-pixel T_STOP
+    dead mask — the analog of the reference CUDA's per-pixel `done`
+    early-out, `forward.cu:314-328`); under drift the margin plus the
+    caller's rebin cadence bound the error (tests/test_fixed_binning.py).
     """
     n = proj.tiles_touched.shape[0]
     grid_x = (cam.image_width + TILE - 1) // TILE
@@ -252,6 +276,11 @@ def _expand_instances(
     dx = jnp.clip(mx, x_lo, x_lo + (TILE - 1)) - mx
     dy = jnp.clip(my, y_lo, y_lo + (TILE - 1)) - my
     dropped = dx * dx + dy * dy > gthr2
+    if depth_cap is not None:
+        tid0 = jnp.clip(ty * grid_x + tx, 0, num_tiles - 1)
+        cap = jnp.take(depth_cap, jax.lax.optimization_barrier(tid0))
+        depth_f = jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32)
+        dropped = dropped | (depth_f > cap * SAT_MARGIN)
     keep = in_use & ~dropped
 
     tile_id = jnp.where(keep, ty * grid_x + tx, num_tiles)
@@ -298,14 +327,20 @@ def bin_gaussians_csr(
     cam: Camera,
     cfg: RasterConfig,
     opacities: jax.Array | None = None,
+    depth_cap: jax.Array | None = None,
 ) -> BinnedCSR:
-    """Chunk-aligned-window binning for the Pallas flat-chunk-grid kernels."""
+    """Chunk-aligned-window binning for the Pallas flat-chunk-grid kernels.
+
+    ``depth_cap`` ((num_tiles,) f32) trims each tile's list at its measured
+    saturation depth — see `_expand_instances`.
+    """
     chunk = cfg.chunk
     (
         sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,
         total_kept, kept_hist, slot_off,
     ) = _expand_instances(
-        proj, cam, cfg, opacities, carry_slot=cfg.reduction == "perm"
+        proj, cam, cfg, opacities, carry_slot=cfg.reduction == "perm",
+        depth_cap=depth_cap,
     )
     k = cfg.max_instances
     ks = cfg.max_stream or k  # post-cull stream capacity

@@ -70,6 +70,11 @@ NPIX = TILE * TILE  # 256 pixels per tile
 # key value marking invalid (masked) rows in the gradient key row; must
 # exceed any gaussian id (ids are exact in f32 up to 2^24)
 BIG_KEY = 1e9
+# "never saturated" sentinel for the aux saturation-depth row. FINITE on
+# purpose: the backward reads per-pixel aux columns through one-hot matmuls
+# that contract over all 8 aux rows, and 0 * inf = NaN would poison them.
+# Converted to +inf at the RenderAux boundary (render_tiled.py).
+SAT_INF = 1e30
 # fisher kernel output: 16 moment rows + key row + pad to a sublane multiple
 FKEY_ROW = 16
 FROWS = 24
@@ -81,6 +86,57 @@ def _triangular(chunk: int) -> jax.Array:
     i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     return (i <= j).astype(jnp.bfloat16)
+
+
+def _cumprod_roll(one_minus: jax.Array, chunk: int):
+    """Inclusive + exclusive cumprod along lanes via Hillis-Steele doubling.
+
+    log2(chunk) lane rolls + masked multiplies replace the log1p -> MXU
+    cumsum -> exp chain: the transmittance recursion runs in plain f32
+    products with ZERO per-pair transcendentals (RasterConfig
+    scan_impl='roll'; the alpha exp remains the kernels' only one). Each
+    step multiplies by the neighbor product rolled ``k`` lanes right, with
+    the wrapped head lanes forced to the identity.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, chunk), 1)
+    x = one_minus
+    k = 1
+    while k < chunk:
+        x = x * jnp.where(lane < k, 1.0, pltpu.roll(x, k, 1))
+        k *= 2
+    excl = jnp.where(lane < 1, 1.0, pltpu.roll(x, 1, 1))
+    return x, excl
+
+
+def _chunk_transmittance(alpha, t_run, dead, scan_impl, chunk, tri=None):
+    """Per-chunk transmittance state shared by the fwd/bwd kernels.
+
+    Returns (t_before, t_cum, live, new_t_run). 'mxu' evaluates the
+    cumulative product in log space on the MXU (bf16x3 split cumsum, one
+    exp per pair); 'roll' evaluates it directly with lane-roll doubling
+    (see _cumprod_roll) and recovers the live-masked carry as the minimum
+    live t_cum (t_cum is monotone along the chunk, so the product of live
+    factors equals the last live t_cum).
+    """
+    if scan_impl == "roll":
+        one_minus = 1.0 - alpha
+        _, excl = _cumprod_roll(one_minus, chunk)
+        t_before = t_run * excl
+        t_cum = t_before * one_minus
+        live = (t_cum >= T_STOP) & (dead == 0.0)
+        new_t_run = jnp.min(
+            jnp.where(live, t_cum, t_run), axis=1, keepdims=True
+        )
+        return t_before, t_cum, live, new_t_run
+    log1m = jnp.log1p(-alpha)
+    incl = _cumsum_mxu(log1m, tri)
+    t_before = t_run * jnp.exp(incl - log1m)
+    t_cum = t_before * (1.0 - alpha)
+    live = (t_cum >= T_STOP) & (dead == 0.0)
+    new_t_run = t_run * jnp.exp(
+        jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
+    )
+    return t_before, t_cum, live, new_t_run
 
 
 def _cumsum_mxu(x: jax.Array, tri: jax.Array) -> jax.Array:
@@ -321,12 +377,20 @@ def _is_last(meta_ref, c, nc):
     return jnp.where(c == nc - 1, 1, nxt & 1)
 
 
-def _row_key(blk, skip, lim, run, chunk):
+def _row_key(blk, skip, lim, chunk):
     """Reduction key per window row: the gaussian id for valid rows, BIG_KEY
-    for masked/foreign rows (they then sort past every real gaussian)."""
+    for masked/foreign rows (they then sort past every real gaussian).
+
+    Valid rows MUST carry their real gid even in chunks the saturation
+    early-exit skips (their gradient rows are zero): the sort reduction's
+    segment boundaries come analytically from the binning histogram
+    (gid_hist), so every surviving instance has to appear exactly once in
+    the key row or every later gaussian's segment misaligns — early-exited
+    chunks once wrote BIG_KEY here and silently corrupted all gradients on
+    scenes with fully saturated tiles."""
     row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     return jnp.where(
-        (row >= skip) & (row < lim) & run,
+        (row >= skip) & (row < lim),
         blk[ROW_GID : ROW_GID + 1, :],
         BIG_KEY,
     )
@@ -339,14 +403,16 @@ def _fwd_kernel(
     inst_ref,  # (ROWS, chunk) VMEM window of the sorted stream
     phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
     color_ref,  # (1, NFEAT_PAD, NPIX) block of the owning tile (channel-major)
-    aux_ref,  # (1, 8, NPIX): row 0=median depth, row 1=final T
+    aux_ref,  # (1, 8, NPIX): row 0=median depth, row 1=final T, row 2=sat depth
     t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance
     dead_sc,  # (NPIX, 1) f32 scratch: 0/1 dead mask
     depth_sc,  # (NPIX, 1) f32 scratch: median depth accumulator
     alive_sc,  # (1,) SMEM: 0 when every pixel of the tile is saturated
+    satd_sc,  # (1,) SMEM f32: max stream depth actually processed this tile
     *,
     grid_x: int,
     chunk: int,
+    scan_impl: str = "mxu",
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -359,6 +425,7 @@ def _fwd_kernel(
         depth_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         color_ref[0] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
         alive_sc[0] = 1
+        satd_sc[0] = 0.0
 
     # early exit once the whole tile is saturated — the CUDA kernel's
     # per-block __syncthreads_count done-ballot (`forward.cu:314-328`)
@@ -371,13 +438,9 @@ def _fwd_kernel(
         t_run = t_run_sc[:]
         dead = dead_sc[:]
 
-        log1m = jnp.log1p(-alpha)
-        incl = _cumsum_mxu(log1m, _triangular(chunk))
-        # one exp for T BEFORE each gaussian (exclusive cumsum); T after is
-        # a multiply — cheaper than a second exp or a divide
-        t_before = t_run * jnp.exp(incl - log1m)
-        t_cum = t_before * (1.0 - alpha)
-        live = (t_cum >= T_STOP) & (dead == 0.0)
+        t_before, t_cum, live, new_t_run = _chunk_transmittance(
+            alpha, t_run, dead, scan_impl, chunk, tri=_triangular(chunk)
+        )
 
         w = jnp.where(live, alpha * t_before, 0.0)
         feats = blk[ROW_FEAT0:, :]  # (NFEAT_PAD, C)
@@ -392,19 +455,35 @@ def _fwd_kernel(
         dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
         crossing = (t_before > 0.5) & (t_cum < 0.5) & live
         depth_sc[:] += jnp.sum(jnp.where(crossing, dep, 0.0), axis=1, keepdims=True)
-        t_run_sc[:] = t_run * jnp.exp(
-            jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
-        )
+        t_run_sc[:] = new_t_run
         new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
         dead_sc[:] = new_dead
         alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
+        # stream is depth-sorted, so the max valid depth of the latest chunk
+        # actually processed is the tile's running saturation-depth candidate
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        dep_valid = jnp.where(
+            (row >= skip) & (row < lim), blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0
+        )
+        satd_sc[0] = jnp.max(dep_valid)
 
     # one aux write + one (NPIX, 2) transpose per TILE, not per step
     @pl.when(_is_last(meta_ref, c, nc) == 1)
     def _():
         dt = jnp.concatenate([depth_sc[:], t_run_sc[:]], axis=1).T  # (2, NPIX)
+        # row 2 = saturation depth cap: every instance deeper than this
+        # contributed exactly nothing (all pixels dead before it was reached),
+        # so the next (re)binning may drop deeper instances outright
+        # (binning.py depth_cap). SAT_INF when the tile never saturated —
+        # later instances could still contribute after parameter drift.
+        sat = jnp.where(alive_sc[0] == 0, satd_sc[0], SAT_INF)
         aux_ref[0] = jnp.concatenate(
-            [dt, jnp.zeros((6, NPIX), jnp.float32)], axis=0
+            [
+                dt,
+                jnp.full((1, NPIX), sat, jnp.float32),
+                jnp.zeros((5, NPIX), jnp.float32),
+            ],
+            axis=0,
         )
 
 
@@ -430,6 +509,7 @@ def _bwd_kernel(
     *,
     grid_x: int,
     chunk: int,
+    scan_impl: str = "mxu",
 ):
     c = pl.program_id(0)
     t, first, skip, lim = _meta(meta_ref, lim_ref, c)
@@ -471,8 +551,8 @@ def _bwd_kernel(
     @pl.when(jnp.logical_not(run))
     def _():
         ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
-        ginst_ref[ROW_GID : ROW_GID + 1, :] = jnp.full(
-            (1, chunk), BIG_KEY, jnp.float32
+        ginst_ref[ROW_GID : ROW_GID + 1, :] = _row_key(
+            inst_ref[:], skip, lim, chunk
         )
 
     @pl.when(run)
@@ -490,11 +570,9 @@ def _bwd_kernel(
         gtot = gtot_sc[:]
 
         tri = _triangular(chunk)
-        log1m = jnp.log1p(-alpha)
-        incl = _cumsum_mxu(log1m, tri)
-        t_before = t_run * jnp.exp(incl - log1m)
-        t_cum = t_before * (1.0 - alpha)
-        live = (t_cum >= T_STOP) & (dead == 0.0)
+        t_before, t_cum, live, new_t_run = _chunk_transmittance(
+            alpha, t_run, dead, scan_impl, chunk, tri=tri
+        )
         w = jnp.where(live, alpha * t_before, 0.0)
 
         feats = blk[ROW_FEAT0:, :]  # (NFEAT_PAD, C)
@@ -570,7 +648,7 @@ def _bwd_kernel(
                 jnp.sum(
                     jnp.where(crossing, g_depth, 0.0), axis=0, keepdims=True
                 ),
-                _row_key(blk, skip, lim, run, chunk),
+                _row_key(blk, skip, lim, chunk),
             ],
             axis=0,
         )
@@ -582,9 +660,7 @@ def _bwd_kernel(
         )  # (NFEAT_PAD, C)
         ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
 
-        t_run_sc[:] = t_run * jnp.exp(
-            jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
-        )
+        t_run_sc[:] = new_t_run
         new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
         dead_sc[:] = new_dead
         alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
@@ -644,8 +720,8 @@ def _fisher_kernel(
     @pl.when(jnp.logical_not(run))
     def _():
         fish_ref[:] = jnp.zeros((FROWS, chunk), jnp.float32)
-        fish_ref[FKEY_ROW : FKEY_ROW + 1, :] = jnp.full(
-            (1, chunk), BIG_KEY, jnp.float32
+        fish_ref[FKEY_ROW : FKEY_ROW + 1, :] = _row_key(
+            inst_ref[:], skip, lim, chunk
         )
 
     @pl.when(run)
@@ -662,11 +738,9 @@ def _fisher_kernel(
         gtot = gtot_sc[:]
 
         tri = _triangular(chunk)
-        log1m = jnp.log1p(-alpha)
-        incl = _cumsum_mxu(log1m, tri)
-        t_before = t_run * jnp.exp(incl - log1m)
-        t_cum = t_before * (1.0 - alpha)
-        live = (t_cum >= T_STOP) & (dead == 0.0)
+        t_before, t_cum, live, new_t_run = _chunk_transmittance(
+            alpha, t_run, dead, "mxu", chunk, tri=tri
+        )
         w = jnp.where(live, alpha * t_before, 0.0)
 
         feats = blk[ROW_FEAT0:, :]
@@ -704,15 +778,13 @@ def _fisher_kernel(
             moments
             + [
                 rsum(dop * dop),
-                _row_key(blk, skip, lim, run, chunk),
+                _row_key(blk, skip, lim, chunk),
                 jnp.zeros((FROWS - 17, chunk), jnp.float32),
             ],
             axis=0,
         )
 
-        t_run_sc[:] = t_run * jnp.exp(
-            jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
-        )
+        t_run_sc[:] = new_t_run
         new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
         dead_sc[:] = new_dead
         alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
@@ -746,9 +818,11 @@ def _out_chunk_spec(rows, chunk):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret):
+def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu"):
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk),
+        functools.partial(
+            _fwd_kernel, grid_x=grid_x, chunk=chunk, scan_impl=scan_impl
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nc,),
@@ -757,7 +831,8 @@ def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret):
                 pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
                 pl.BlockSpec((1, 8, NPIX), _tile_of),
             ],
-            scratch_shapes=_common_scratch(),
+            scratch_shapes=_common_scratch()
+            + [pltpu.SMEM((1,), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
@@ -768,9 +843,11 @@ def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret):
+def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu"):
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk),
+        functools.partial(
+            _bwd_kernel, grid_x=grid_x, chunk=chunk, scan_impl=scan_impl
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nc,),
@@ -942,7 +1019,7 @@ def segment_reduce_by_scatter(
 
 @functools.lru_cache(maxsize=32)
 def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
-                    reduction="sort"):
+                    reduction="sort", scan_impl="mxu"):
     """custom-vjp'd rasterize: (N, ROWS) attrs -> (color, aux) per tile.
 
     The vjp boundary sits at the per-gaussian attribute table, so neither
@@ -951,8 +1028,8 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
     serialized on TPU). ``nfeat`` bounds the feature rows carried through
     the reduction sort (each carried row costs ~0.6 ms at 1.2M instances;
     rows past nfeat are zero by construction)."""
-    fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
-    bwd_call = _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret)
+    fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl)
+    bwd_call = _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl)
     value_rows = tuple(range(ROW_GID)) + tuple(
         range(ROW_FEAT0, ROW_FEAT0 + nfeat)
     )
@@ -1005,7 +1082,8 @@ class PallasRasterOut(NamedTuple):
 
     color: jax.Array  # (T, NFEAT_PAD, NPIX) accumulated (no background)
     aux: jax.Array  # (T, 8, NPIX): row 0 = median-depth accum (0 where
-    # unset), row 1 = final transmittance, rest zero
+    # unset), row 1 = final transmittance, row 2 = per-tile saturation depth
+    # (+inf if the tile never fully saturated; see binning depth_cap), rest 0
 
 
 def pack_attrs(
@@ -1092,6 +1170,7 @@ def rasterize_tiles_pallas(
     interpret: bool | None = None,
     nfeat: int = NFEAT_PAD - 2,
     reduction: str = "sort",
+    scan_impl: str = "mxu",
 ) -> PallasRasterOut:
     """Run the Pallas per-chunk compositing kernels (differentiable)."""
     if interpret is None:
@@ -1101,7 +1180,7 @@ def rasterize_tiles_pallas(
         reduction = "sort"
     nc = binned.chunk_meta.shape[0]
     fn = _make_raster_fn(
-        nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction
+        nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction, scan_impl
     )
     dummy = jnp.zeros(1, jnp.int32)
     color, aux = fn(

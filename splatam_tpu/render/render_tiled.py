@@ -40,6 +40,10 @@ from splatam_tpu.render.reference import RenderOutput
 class RenderAux(NamedTuple):
     overflow: jax.Array  # () bool
     num_instances: jax.Array  # () int32
+    # (num_tiles,) f32 per-tile saturation depth (+inf where the tile never
+    # went fully opaque) — feed back to binning's ``depth_cap`` to trim the
+    # next rebin's instance stream. Pallas backend only (None on jnp path).
+    sat_depth: jax.Array | None = None
 
 
 def _tile_pixel_coords(cam: Camera):
@@ -264,7 +268,7 @@ def _rasterize_pallas(
     attrs = pack_attrs(blend_xy, proj.conic, opacities, proj.depths, colors)
     res = rasterize_tiles_pallas(
         attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, nfeat=nfeat,
-        reduction=cfg.reduction,
+        reduction=cfg.reduction, scan_impl=cfg.scan_impl,
     )
 
     # Convert the full 8-channel blocks to image layout FIRST and do all
@@ -289,5 +293,12 @@ def _rasterize_pallas(
         depth=depth_out[None],
         final_t=final_t,
     )
-    aux = RenderAux(overflow=binned.overflow, num_instances=binned.num_instances)
+    from splatam_tpu.render.pallas_raster import SAT_INF
+
+    sat_raw = jax.lax.stop_gradient(res.aux[:, 2, 0])
+    aux = RenderAux(
+        overflow=binned.overflow,
+        num_instances=binned.num_instances,
+        sat_depth=jnp.where(sat_raw < SAT_INF, sat_raw, jnp.inf),
+    )
     return out, aux

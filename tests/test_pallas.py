@@ -143,3 +143,173 @@ def test_pallas_means2d_dummy_gradient():
     g_ref = np.asarray(jax.grad(make_loss(CFG_JNP))(dummy))
     g_pal = np.asarray(jax.grad(make_loss(CFG_PAL))(dummy))
     np.testing.assert_allclose(g_pal, g_ref, atol=2e-5 * (np.abs(g_ref).max() + 1))
+
+
+def test_saturation_depth_cap_trims_and_matches():
+    """aux.sat_depth fed back as binning depth_cap drops provably-dead
+    instances (every pixel opaque before they are reached) without changing
+    the render; the jnp oracle stays the cross-check."""
+    from splatam_tpu.render.binning import bin_gaussians_csr
+    from splatam_tpu.render.geometry import preprocess
+    from splatam_tpu.core.transforms import normalize
+
+    rng = np.random.default_rng(3)
+    n, w, h = 400, 64, 48
+    # opaque fronts: many near-1 opacity gaussians stacked in depth so most
+    # tiles saturate early
+    means = np.stack(
+        [
+            rng.uniform(-0.9, 0.9, n),
+            rng.uniform(-0.7, 0.7, n),
+            rng.uniform(0.5, 6.0, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacities = np.full(n, 0.95, np.float32)
+    scales = np.full((n, 3), 0.25, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    from splatam_tpu.render.camera import setup_camera
+
+    k = [[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]]
+    cam = setup_camera(w, h, k, np.eye(4))
+
+    args = (
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats), cam,
+    )
+    ref, _ = rasterize_tiled(*args, cfg=CFG_JNP)
+    out_full, aux_full = rasterize_tiled(*args, cfg=CFG_PAL)
+    sat = aux_full.sat_depth
+    assert sat is not None and sat.shape == (4 * 3,)  # 64x48 -> 4x3 tiles
+    assert bool(jnp.isfinite(sat).any()), "no tile saturated — weak scene"
+
+    proj = preprocess(
+        jnp.asarray(means), jnp.asarray(scales),
+        normalize(jnp.asarray(quats)), cam,
+    )
+    binned_full = bin_gaussians_csr(
+        proj, cam, CFG_PAL, opacities=jnp.asarray(opacities)
+    )
+    binned_trim = bin_gaussians_csr(
+        proj, cam, CFG_PAL, opacities=jnp.asarray(opacities), depth_cap=sat
+    )
+    n_full = int(binned_full.num_instances)
+    n_trim = int(binned_trim.num_instances)
+    assert n_trim < n_full, (n_trim, n_full)
+
+    out_trim, aux_trim = rasterize_tiled(*args, cfg=CFG_PAL, binned=binned_trim)
+    assert not bool(aux_trim.overflow)
+    np.testing.assert_allclose(
+        np.asarray(out_trim.color), np.asarray(ref.color), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_trim.depth), np.asarray(ref.depth), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_trim.final_t), np.asarray(ref.final_t), atol=1e-5
+    )
+
+    # gradients flow identically through the trimmed stream
+    def loss_with(binned):
+        def f(ms, cols, ops):
+            o, _ = rasterize_tiled(
+                ms, cols, ops, args[3], args[4], cam, cfg=CFG_PAL,
+                binned=binned,
+            )
+            return jnp.sum(o.color**2) + jnp.sum(o.depth)
+        return jax.grad(f, argnums=(0, 1, 2))(args[0], args[1], args[2])
+
+    g_full = loss_with(binned_full)
+    g_trim = loss_with(binned_trim)
+    for a, b in zip(g_full, g_trim):
+        # grads reach O(100) on this opaque scene; window realignment after
+        # the trim changes f32 chunk-cumsum association (~1e-5 relative)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        )
+
+
+def test_pallas_gradients_match_jnp_on_saturated_scene():
+    """Regression: the bwd kernels' saturation early-exit must still emit
+    real gid keys for skipped chunks (zero gradient rows) — BIG_KEY there
+    misaligns the sort-reduction's analytic segment boundaries and corrupts
+    every later gaussian's gradient (was grads off by O(1000) on opaque
+    scenes; FD-verified)."""
+    rng = np.random.default_rng(11)
+    n, w, h = 300, 48, 32
+    means = np.stack(
+        [
+            rng.uniform(-0.8, 0.8, n),
+            rng.uniform(-0.6, 0.6, n),
+            rng.uniform(0.5, 6.0, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacities = np.full(n, 0.97, np.float32)
+    scales = np.full((n, 3), 0.3, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    from splatam_tpu.render.camera import setup_camera
+
+    k = [[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]]
+    cam = setup_camera(w, h, k, np.eye(4))
+    args = (
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats), cam,
+    )
+
+    def grads(cfg):
+        def f(ms, cols, ops):
+            o, _ = rasterize_tiled(ms, cols, ops, args[3], args[4], cam, cfg=cfg)
+            return jnp.sum(o.color**2) + jnp.sum(o.depth)
+        return jax.grad(f, argnums=(0, 1, 2))(args[0], args[1], args[2])
+
+    g_pal = grads(CFG_PAL)
+    g_jnp = grads(CFG_JNP)
+    for a, b in zip(g_pal, g_jnp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        )
+
+
+def test_pallas_roll_scan_matches_mxu():
+    """scan_impl='roll' (lane-roll cumprod transmittance) is an exact
+    re-association of the 'mxu' log-space path — fwd and grads agree."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    means, colors, opacities, scales, quats, cam = make_scene(rng, n=70, w=64, h=48)
+    args = [
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats),
+    ]
+    cfg_roll = dataclasses.replace(CFG_PAL, scan_impl="roll")
+
+    def make_loss(cfg):
+        def loss(m, c, o, s, q):
+            out, _ = rasterize_tiled(m, c, o, s, q, cam, cfg=cfg)
+            return (
+                jnp.sum(out.color**2) + jnp.sum(out.depth)
+                + jnp.sum(out.final_t**2)
+            )
+        return loss
+
+    ref, _ = rasterize_tiled(*args, cam, cfg=CFG_PAL)
+    out, _ = rasterize_tiled(*args, cam, cfg=cfg_roll)
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.asarray(ref.color), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5
+    )
+    g_mxu = jax.grad(make_loss(CFG_PAL), argnums=tuple(range(5)))(*args)
+    g_roll = jax.grad(make_loss(cfg_roll), argnums=tuple(range(5)))(*args)
+    for gr, gp, name in zip(
+        g_mxu, g_roll, ["means", "colors", "opac", "scales", "quats"]
+    ):
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(gp) / scale, np.asarray(gr) / scale, atol=1e-4,
+            err_msg=name,
+        )
