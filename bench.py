@@ -8,6 +8,9 @@ vs_baseline compares against the reference CUDA rasterizer on A100
 (BASELINE.md: no published numbers in-repo; ~100 Mpix/s fwd+bwd is the
 working estimate from the reference's reported tracking-iteration times —
 2 fwd + 2 bwd of a 0.8 Mpix frame per ~15 ms iteration on datacenter GPUs).
+
+`python bench.py <mode>` A/B-tests RasterConfig levers, with `+`-separated
+tokens: reduction (sort|perm|scatter), scan_impl (mxu|roll), chunk (c256).
 """
 from __future__ import annotations
 
@@ -51,13 +54,39 @@ def make_scene(n, w, h, seed=0):
     return params, jnp.ones(n, bool), cam
 
 
-def main(mode: str | None = None):
+def parse_mode(base, mode: str | None):
+    """Apply `+`-separated A/B tokens to a RasterConfig."""
+    if not mode:
+        return base
+    import dataclasses
+
+    for tok in mode.split("+"):
+        if tok in ("sort", "perm", "scatter"):
+            base = dataclasses.replace(base, reduction=tok)
+        elif tok in ("mxu", "roll"):
+            base = dataclasses.replace(base, scan_impl=tok)
+        elif tok.startswith("c") and tok[1:].isdigit():
+            base = dataclasses.replace(base, chunk=int(tok[1:]))
+        else:
+            raise SystemExit(f"unknown bench mode token: {tok}")
+    return base
+
+
+def setup(mode: str | None = None, iters: int = 10, rebin_every: int = 10):
+    """Build the measured program. Returns a dict with `run(gauss, sat0)`
+    (the jitted chained-iteration loop), its arguments, and sizing info —
+    shared by main() and tools/profile_bench.py so profiles always measure
+    exactly what the benchmark reports.
+    """
     import jax
     import jax.numpy as jnp
 
-    from splatam_tpu.core.losses import slam_loss
+    from splatam_tpu.core.losses import (
+        compute_binned,
+        count_instances,
+        slam_loss,
+    )
     from splatam_tpu.core.params import GAUSSIAN_KEYS
-    from splatam_tpu.core.losses import count_instances
     from splatam_tpu.render.binning import RasterConfig, sized_config
 
     n = 200_000
@@ -67,30 +96,21 @@ def main(mode: str | None = None):
     rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
     tran = jnp.zeros(3, jnp.float32)
     # pre-size the instance stream to the scene (sized_config docstring);
-    # overflow is asserted below so a snug capacity can't silently truncate
+    # overflow is asserted in main() so a snug capacity can't silently
+    # truncate
     total = int(
         jax.jit(count_instances, static_argnames=())(
             params, jnp.ones(n, bool), rot, tran, cam
         )
     )
-    base = RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128)
-    if mode:  # A/B lever: `python bench.py perm+roll` etc.
-        import dataclasses
-
-        for tok in mode.split("+"):
-            if tok in ("sort", "perm", "scatter"):
-                base = dataclasses.replace(base, reduction=tok)
-            elif tok in ("mxu", "roll"):
-                base = dataclasses.replace(base, scan_impl=tok)
-            else:
-                raise SystemExit(f"unknown bench mode token: {tok}")
+    base = parse_mode(
+        RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128), mode
+    )
     cfg0 = sized_config(total, base)
     # probe binning: the tile-alpha cull drops rect-corner instances, so the
     # post-cull stream / chunk-grid capacities (what kernels, gathers and
     # the gradient-reduction sort actually scale with) can be sized snugly
-    from splatam_tpu.core.losses import compute_binned as _cb
-
-    probe = _cb(params, active, rot, tran, cam, cfg0)
+    probe = compute_binned(params, active, rot, tran, cam, cfg0)
     cfg1 = sized_config(
         total,
         base,
@@ -101,23 +121,32 @@ def main(mode: str | None = None):
     gt_im = jnp.zeros((3, h, w), jnp.float32)
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
 
+    def make_loss(cfg):
+        def loss_fn(gauss, binned=None):
+            p = dict(params)
+            p.update(gauss)
+            out = slam_loss(
+                p, active, rot, tran, gt_im, gt_depth, cam, cfg,
+                tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
+                use_sil_for_loss=False, sil_thres=0.5,
+                ignore_outlier_depth_loss=False,
+                binned=binned,
+            )
+            return out
+        return loss_fn
+
+    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
+
     # saturation-trim sizing: render once at cfg1 to measure each tile's
     # saturation depth, re-bin with the cap, and size the production config
     # to the TRIMMED stream (instances past a fully-opaque front contribute
     # exactly nothing — binning.depth_cap)
-    probe_loss = jax.jit(
-        lambda g, binned: slam_loss(
-            dict(params, **g), active, rot, tran, gt_im, gt_depth, cam, cfg1,
-            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
-            use_sil_for_loss=False, sil_thres=0.5,
-            ignore_outlier_depth_loss=False, binned=binned,
-        )
+    probe_out = jax.jit(make_loss(cfg1))(
+        gauss, compute_binned(params, active, rot, tran, cam, cfg1)
     )
-    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
-    probe_out = probe_loss(gauss, _cb(params, active, rot, tran, cam, cfg1))
     assert not bool(probe_out.overflow), "probe capacity overflow — sizing bug"
     sat0 = probe_out.sat_depth
-    probe2 = _cb(params, active, rot, tran, cam, cfg1, sat0)
+    probe2 = compute_binned(params, active, rot, tran, cam, cfg1, sat0)
     cfg = sized_config(
         total,
         base,
@@ -125,26 +154,11 @@ def main(mode: str | None = None):
         chunks_used=int(probe2.padded_total) // base.chunk,
     )
 
+    full_loss = make_loss(cfg)
+
     def loss_fn(gauss, binned=None):
-        p = dict(params)
-        p.update(gauss)
-        out = slam_loss(
-            p, active, rot, tran, gt_im, gt_depth, cam, cfg,
-            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
-            use_sil_for_loss=False, sil_thres=0.5,
-            ignore_outlier_depth_loss=False,
-            binned=binned,
-        )
+        out = full_loss(gauss, binned)
         return out.loss, out.sat_depth
-
-    iters = 10
-    # the SLAM driver's shipped iteration behavior: binning frozen for
-    # rebin_every consecutive steps, then recomputed at the current params
-    # and the latest render's saturation caps (slam/pipeline.py); the re-bin
-    # cost lands inside the measured loop
-    rebin_every = 10
-
-    from splatam_tpu.core.losses import compute_binned
 
     def bin_now(g, sat):
         p = dict(params)
@@ -155,7 +169,10 @@ def main(mode: str | None = None):
     def run(gauss, sat0):
         # chained fori_loop: one dispatch, real data dependency between
         # iterations, so the measurement is device time (the tunneled-TPU
-        # environment adds ~35ms host round-trip per dispatch otherwise)
+        # environment adds ~35ms host round-trip per dispatch otherwise).
+        # Binning is frozen for rebin_every steps, then recomputed at the
+        # current params and the latest render's saturation caps — the
+        # SLAM driver's shipped iteration behavior (slam/pipeline.py).
         def body(i, carry):
             g, binned, sat = carry
             binned = jax.lax.cond(
@@ -174,15 +191,30 @@ def main(mode: str | None = None):
         )
         return loss_fn(out, binned)[0]
 
+    return {
+        "run": run,
+        "gauss": gauss,
+        "sat0": sat0,
+        "cfg": cfg,
+        "full_loss": full_loss,
+        "bin_now": bin_now,
+        "w": w,
+        "h": h,
+        "iters": iters,
+        "num_kept": int(probe2.num_instances),
+        "num_kept_untrimmed": int(probe.num_instances),
+    }
+
+
+def main(mode: str | None = None):
+    import jax
+
+    b = setup(mode)
+    run, gauss, sat0 = b["run"], b["gauss"], b["sat0"]
+
     # warmup / compile; also verify the trimmed capacity didn't overflow
     out0 = jax.jit(
-        lambda g, sat: slam_loss(
-            dict(params, **g), active, rot, tran, gt_im, gt_depth, cam, cfg,
-            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
-            use_sil_for_loss=False, sil_thres=0.5,
-            ignore_outlier_depth_loss=False,
-            binned=bin_now(g, sat),
-        ).overflow
+        lambda g, sat: b["full_loss"](g, b["bin_now"](g, sat)).overflow
     )(gauss, sat0)
     assert not bool(out0), "instance capacity overflow — sizing bug"
     loss = run(gauss, sat0)
@@ -193,7 +225,7 @@ def main(mode: str | None = None):
     _ = float(loss)
     dt = time.perf_counter() - t0
 
-    mpix_s = (w * h * (iters + 1)) / dt / 1e6
+    mpix_s = (b["w"] * b["h"] * (b["iters"] + 1)) / dt / 1e6
     print(
         json.dumps(
             {

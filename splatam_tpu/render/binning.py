@@ -261,7 +261,12 @@ def _expand_instances(
         ],
         axis=-1,
     )  # (N, 8) int32
-    grow = gtable[gid_safe]  # (K, 8)
+    # barriers keep the cull/rect arithmetic OUT of the gather fusion: XLA
+    # fuses the consumers into the gather and lands it in S(1) scalar space
+    # (~4 ms measured vs ~1.6 ms for the bare row gather — see CLAUDE.md on
+    # profiling gathers in context)
+    grow = jnp.take(gtable, jax.lax.optimization_barrier(gid_safe), axis=0)
+    grow = jax.lax.optimization_barrier(grow)  # (K, 8)
     local = slot - grow[:, 0]
     rect_w_safe = grow[:, 3]
     ty = grow[:, 2] + local // rect_w_safe
@@ -279,6 +284,7 @@ def _expand_instances(
     if depth_cap is not None:
         tid0 = jnp.clip(ty * grid_x + tx, 0, num_tiles - 1)
         cap = jnp.take(depth_cap, jax.lax.optimization_barrier(tid0))
+        cap = jax.lax.optimization_barrier(cap)
         depth_f = jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32)
         dropped = dropped | (depth_f > cap * SAT_MARGIN)
     keep = in_use & ~dropped

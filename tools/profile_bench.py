@@ -25,74 +25,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--mode", type=str, default=None,
+                    help="bench mode tokens, e.g. perm+roll+c256")
     ap.add_argument("--hlo", action="store_true", help="dump compiled HLO too")
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    from bench import make_scene
-    from splatam_tpu.core.losses import count_instances, slam_loss
-    from splatam_tpu.core.params import GAUSSIAN_KEYS
-    from splatam_tpu.render.binning import RasterConfig, sized_config
+    import bench
 
-    n = 200_000
-    w, h = 1200, 680
-    params, active, cam = make_scene(n, w, h)
-    rot = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
-    tran = jnp.zeros(3, jnp.float32)
-    total = int(jax.jit(count_instances)(params, jnp.ones(n, bool), rot, tran, cam))
-    base = RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128)
-    from splatam_tpu.core.losses import compute_binned as _cb
-
-    print("probe binning...", flush=True)
-    probe = jax.jit(_cb, static_argnums=5)(
-        params, active, rot, tran, cam, sized_config(total, base)
-    )
-    cfg = sized_config(
-        total,
-        base,
-        num_kept=int(probe.num_instances),
-        chunks_used=int(probe.padded_total) // base.chunk,
-    )
-    gt_im = jnp.zeros((3, h, w), jnp.float32)
-    gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
-
-    def loss_fn(gauss):
-        p = dict(params)
-        p.update(gauss)
-        out = slam_loss(
-            p, active, rot, tran, gt_im, gt_depth, cam, cfg,
-            tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
-            use_sil_for_loss=False, sil_thres=0.5,
-            ignore_outlier_depth_loss=False,
-        )
-        return out.loss
-
-    gauss = {k: params[k] for k in GAUSSIAN_KEYS}
-
-    @jax.jit
-    def run(gauss):
-        def body(i, g):
-            loss, grads = jax.value_and_grad(loss_fn)(g)
-            return jax.tree.map(lambda p, d: p + 1e-20 * d, g, grads)
-
-        out = jax.lax.fori_loop(0, args.iters, body, gauss)
-        return loss_fn(out)
+    print("setup (probe binning + sat-trim sizing)...", flush=True)
+    b = bench.setup(args.mode, iters=args.iters)
+    run, gauss, sat0 = b["run"], b["gauss"], b["sat0"]
 
     if args.hlo:
-        txt = run.lower(gauss).compile().as_text()
+        txt = run.lower(gauss, sat0).compile().as_text()
         open("/tmp/bench_hlo.txt", "w").write(txt)
         print(f"HLO -> /tmp/bench_hlo.txt ({len(txt)} bytes)")
 
     print("compile + warm...", flush=True)
-    _ = float(run(gauss))  # compile + warm
+    _ = float(run(gauss, sat0))  # compile + warm
 
     print("tracing...", flush=True)
     logdir = tempfile.mkdtemp(prefix="benchtrace_")
     jax.profiler.start_trace(logdir)
-    _ = float(run(gauss))
+    _ = float(run(gauss, sat0))
     jax.profiler.stop_trace()
     print("aggregating...", flush=True)
 
