@@ -264,7 +264,27 @@ def slam_loss(
     mask = depth_error < (median_scale / 5) * median(depth_error), with the
     median capped at ``median_thr`` (cap active -> scale resets to 10x). The
     defaults (50, None) reproduce the offline rule `error < 10 * median`.
+
+    On the pallas backend the whole loss runs in TILE layout (the kernels'
+    native channel-major blocks): the ground-truth frame is shuffled into
+    tiles instead of the render into an image, so the gt shuffle is
+    AD-transpose-free and the rendered side never leaves block layout
+    except for the 3 RGB channels SSIM needs — eliminating ~200 MB/iter of
+    tiles<->image HBM traffic at SLAM resolution.
     """
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas" and cfg.shard_axis is None:
+        return _slam_loss_blocks(
+            params, active, cam_rot, cam_tran, frame_im, frame_depth, cam,
+            cfg, tracking=tracking, do_ba=do_ba, loss_w_im=loss_w_im,
+            loss_w_depth=loss_w_depth, use_sil_for_loss=use_sil_for_loss,
+            sil_thres=sil_thres,
+            ignore_outlier_depth_loss=ignore_outlier_depth_loss,
+            means2d_dummy=means2d_dummy, median_scale=median_scale,
+            median_thr=median_thr, binned=binned,
+        )
     out, aux = render_for_loss(
         params, active, cam_rot, cam_tran, cam, cfg,
         gaussians_grad=not tracking, camera_grad=tracking or do_ba,
@@ -323,5 +343,133 @@ def slam_loss(
         im=im,
         depth=depth,
         silhouette=silhouette,
+        sat_depth=aux.sat_depth,
+    )
+
+
+def _slam_loss_blocks(
+    params, active, cam_rot, cam_tran, frame_im, frame_depth, cam, cfg,
+    *, tracking, do_ba, loss_w_im, loss_w_depth, use_sil_for_loss, sil_thres,
+    ignore_outlier_depth_loss, means2d_dummy, median_scale, median_thr,
+    binned,
+) -> LossOutput:
+    """slam_loss evaluated in the pallas kernels' native TILE layout.
+
+    Semantically identical to the image path (tests pin it against the jnp
+    oracle): the gt frame is tiled (no AD transpose — it's constant), all
+    masked depth/sil terms run on (T, C, 256) blocks, and only the 3 RGB
+    channels are shuffled to image layout (mapping needs SSIM's spatial
+    filter; that one conversion also serves LossOutput.im). Out-of-image
+    pad pixels carry gt_depth = 0, so every gt-masked term excludes them
+    for free; the unmasked RGB terms and the outlier median mask them
+    explicitly (valid_pixel_blocks / +inf).
+    """
+    from splatam_tpu.render.render_tiled import (
+        _blocks_to_image,
+        image_to_blocks,
+        rasterize_tiled_blocks,
+        valid_pixel_blocks,
+    )
+    from splatam_tpu.render.geometry import TILE
+
+    gaussians_grad = not tracking
+    camera_grad = tracking or do_ba
+    iso = params["log_scales"].shape[1] == 1
+    log_scales = (
+        jnp.tile(params["log_scales"], (1, 3)) if iso else params["log_scales"]
+    )
+    pts, rots, _ = transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], cam_rot, cam_tran,
+        transform_rots=not iso, gaussians_grad=gaussians_grad,
+        camera_grad=camera_grad,
+    )
+    dsil = depth_silhouette_colors(pts, cam.viewmatrix)
+    feats = jnp.concatenate([params["rgb_colors"], dsil], axis=-1)  # (N, 6)
+    # grad_feats=4 / carry_depth_grad=False: this loss backprops only the
+    # RGB + blended-depth channels — the sil / z^2 channels feed
+    # stop_gradient'd masks and the median-depth output is not in the loss
+    # at all, so their cotangents are structurally zero and their reduction
+    # rows can be dropped (~0.6 ms each at SLAM scale in sort mode)
+    res, aux, proj = rasterize_tiled_blocks(
+        pts, feats, jax.nn.sigmoid(params["logit_opacities"]),
+        jnp.exp(log_scales), normalize(rots), cam, cfg,
+        active=active, means2d_dummy=means2d_dummy, binned=binned,
+        grad_feats=4, carry_depth_grad=False,
+    )
+    grid_x = (cam.image_width + TILE - 1) // TILE
+    grid_y = (cam.image_height + TILE - 1) // TILE
+
+    blocks = res.color  # (T, 8, NPIX) channel-major
+    t_fin = res.aux[:, 1]  # (T, NPIX)
+    bg = cam.bg[:3]
+    im_t = blocks[:, :3] + t_fin[:, None, :] * bg[None, :, None]
+    depth_t = blocks[:, 3]
+    sil_t = blocks[:, 4]
+    z2_t = blocks[:, 5]
+    uncertainty_t = jax.lax.stop_gradient(z2_t - depth_t * depth_t)
+
+    valid_t = valid_pixel_blocks(cam)  # (T, NPIX) f32
+    gt_im_t = image_to_blocks(frame_im, cam)  # (T, 3, NPIX); pads 0
+    gt_depth_t = image_to_blocks(frame_depth, cam)[:, 0]  # (T, NPIX)
+
+    nan_mask = (~jnp.isnan(depth_t)) & (~jnp.isnan(uncertainty_t))
+    depth_error = jnp.abs(gt_depth_t - depth_t) * (gt_depth_t > 0)
+    if ignore_outlier_depth_loss:
+        # exact masked median: pad pixels sort to the end as +inf and the
+        # middle two of the H*W REAL pixels are averaged — identical to
+        # jnp.median over the image-layout depth_error
+        hw = cam.image_height * cam.image_width
+        flat = jnp.sort(
+            jnp.where(valid_t > 0, depth_error, jnp.inf).ravel()
+        )
+        median = 0.5 * (flat[(hw - 1) // 2] + flat[hw // 2])
+        if median_thr is not None:
+            capped = median > median_thr
+            scale = jnp.where(capped, 10.0, median_scale / 5.0)
+            median = jnp.minimum(median, median_thr)
+        else:
+            scale = median_scale / 5.0
+        mask = (depth_error < scale * median) & (gt_depth_t > 0)
+    else:
+        mask = gt_depth_t > 0
+    mask = mask & nan_mask
+    if tracking and use_sil_for_loss:
+        mask = mask & (sil_t > sil_thres)
+    mask = jax.lax.stop_gradient(mask)
+
+    losses = {}
+    depth_abs = jnp.abs(gt_depth_t - depth_t)
+    if tracking:
+        losses["depth"] = jnp.sum(depth_abs * mask)
+    else:
+        losses["depth"] = jnp.sum(depth_abs * mask) / jnp.maximum(
+            jnp.sum(mask), 1
+        )
+
+    rgb_abs = jnp.abs(gt_im_t - im_t)  # (T, 3, NPIX)
+    if tracking and (use_sil_for_loss or ignore_outlier_depth_loss):
+        losses["im"] = jnp.sum(rgb_abs * mask[:, None, :])
+    elif tracking:
+        losses["im"] = jnp.sum(rgb_abs * valid_t[:, None, :])
+    else:
+        # mapping RGB needs SSIM's spatial filter — the ONE image-layout
+        # conversion (3 channels); it doubles as LossOutput.im
+        im_img = _blocks_to_image(im_t, grid_x, grid_y, cam)
+        losses["im"] = 0.8 * l1_loss_v1(im_img, frame_im) + 0.2 * (
+            1.0 - calc_ssim(im_img, frame_im)
+        )
+
+    loss = loss_w_im * losses["im"] + loss_w_depth * losses["depth"]
+    losses["loss"] = loss
+    if tracking:
+        im_img = _blocks_to_image(im_t, grid_x, grid_y, cam)
+    return LossOutput(
+        loss=loss,
+        losses=losses,
+        radius=proj.radius,
+        overflow=aux.overflow,
+        im=im_img,
+        depth=_blocks_to_image(depth_t[:, None, :], grid_x, grid_y, cam),
+        silhouette=_blocks_to_image(sil_t[:, None, :], grid_x, grid_y, cam)[0],
         sat_depth=aux.sat_depth,
     )

@@ -1019,7 +1019,7 @@ def segment_reduce_by_scatter(
 
 @functools.lru_cache(maxsize=32)
 def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
-                    reduction="sort", scan_impl="mxu"):
+                    reduction="sort", scan_impl="mxu", carry_depth=True):
     """custom-vjp'd rasterize: (N, ROWS) attrs -> (color, aux) per tile.
 
     The vjp boundary sits at the per-gaussian attribute table, so neither
@@ -1030,9 +1030,13 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
     rows past nfeat are zero by construction)."""
     fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl)
     bwd_call = _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl)
-    value_rows = tuple(range(ROW_GID)) + tuple(
-        range(ROW_FEAT0, ROW_FEAT0 + nfeat)
-    )
+    # carry_depth=False drops the median-depth gradient row from the
+    # reduction (callers whose loss provably has a zero median-depth
+    # cotangent — the SLAM losses use the BLENDED depth channel); each
+    # carried row costs ~0.6 ms at 1.2M instances in sort mode
+    value_rows = tuple(
+        i for i in range(ROW_GID) if carry_depth or i != ROW_DEPTH
+    ) + tuple(range(ROW_FEAT0, ROW_FEAT0 + nfeat))
 
     @jax.custom_vjp
     def raster(attrs, hist, sorted_gid, meta, lim, blk, slot_pos, slot_off):
@@ -1171,8 +1175,16 @@ def rasterize_tiles_pallas(
     nfeat: int = NFEAT_PAD - 2,
     reduction: str = "sort",
     scan_impl: str = "mxu",
+    carry_depth: bool = True,
 ) -> PallasRasterOut:
-    """Run the Pallas per-chunk compositing kernels (differentiable)."""
+    """Run the Pallas per-chunk compositing kernels (differentiable).
+
+    ``nfeat`` bounds the FEATURE gradient rows carried through the
+    reduction and ``carry_depth=False`` drops the median-depth row: callers
+    may pass fewer than the rendered channel count ONLY when the upstream
+    cotangents for the dropped rows are structurally zero (their per-
+    gaussian grads then come back as exact zeros).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if reduction == "perm" and binned.slot_pos is None:
@@ -1180,7 +1192,8 @@ def rasterize_tiles_pallas(
         reduction = "sort"
     nc = binned.chunk_meta.shape[0]
     fn = _make_raster_fn(
-        nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction, scan_impl
+        nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction, scan_impl,
+        carry_depth,
     )
     dummy = jnp.zeros(1, jnp.int32)
     color, aux = fn(

@@ -105,6 +105,18 @@ def rasterize_tiled(
             else jnp.concatenate([sh_rgb, colors], axis=-1)
         )
     nfeat = colors.shape[-1]
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas" and cfg.shard_axis is None:
+        res, aux, proj = rasterize_tiled_blocks(
+            means3d, colors, opacities, scales, rotations, cam, cfg,
+            active=active, means2d_dummy=means2d_dummy, binned=binned,
+        )
+        grid_x = (cam.image_width + TILE - 1) // TILE
+        grid_y = (cam.image_height + TILE - 1) // TILE
+        return _assemble_image(res, aux, proj, colors.shape[-1], cam, grid_x, grid_y)
+
     proj = preprocess(means3d, scales, rotations, cam, active=active)
     proj_ng = jax.tree.map(jax.lax.stop_gradient, proj)
 
@@ -119,22 +131,6 @@ def rasterize_tiled(
     num_tiles = grid_x * grid_y
     npix = TILE * TILE
 
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend == "pallas" and cfg.shard_axis is None:
-        if cfg.chunk % 128 != 0:
-            raise ValueError(
-                f"pallas backend needs chunk % 128 == 0, got {cfg.chunk} "
-                "(use backend='jnp' for smaller chunks)"
-            )
-        binned_csr = binned if binned is not None else bin_gaussians_csr(
-            proj_ng, cam, cfg, opacities=opacities
-        )
-        return _rasterize_pallas(
-            proj, binned_csr, blend_xy, colors, opacities, cam, cfg,
-            grid_x, grid_y,
-        )
     binned = bin_gaussians(proj_ng, cam, cfg, opacities=opacities)
 
     def chunk_body(carry, idx_chunk):
@@ -255,28 +251,115 @@ def _blocks_to_image(blocks, grid_x, grid_y, cam):
     return img[:, : cam.image_height, : cam.image_width]
 
 
-def _rasterize_pallas(
-    proj, binned, blend_xy, colors, opacities, cam, cfg, grid_x, grid_y
-) -> tuple[RenderOutput, RenderAux]:
-    """Pallas-kernel compositing path (see pallas_raster.py)."""
+def image_to_blocks(img: jax.Array, cam: Camera) -> jax.Array:
+    """(C, H, W) image -> (T, C, 256) channel-major tile blocks (zero-padded).
+
+    The inverse of _blocks_to_image; used to bring GROUND-TRUTH frames into
+    tile layout so losses can run tile-space (core/losses.py). Constant
+    inputs pay this shuffle once with no AD transpose — the rendered side
+    then never round-trips through image layout at all.
+    """
+    grid_x = (cam.image_width + TILE - 1) // TILE
+    grid_y = (cam.image_height + TILE - 1) // TILE
+    c = img.shape[0]
+    pad_h = grid_y * TILE - img.shape[1]
+    pad_w = grid_x * TILE - img.shape[2]
+    img = jnp.pad(img, ((0, 0), (0, pad_h), (0, pad_w)))
+    img = img.reshape(c, grid_y, TILE, grid_x, TILE)
+    return img.transpose(1, 3, 0, 2, 4).reshape(grid_y * grid_x, c, TILE * TILE)
+
+
+def valid_pixel_blocks(cam: Camera) -> jax.Array:
+    """(T, 256) f32 1/0 mask of tile-block pixels inside the image bounds."""
+    grid_x = (cam.image_width + TILE - 1) // TILE
+    grid_y = (cam.image_height + TILE - 1) // TILE
+    t = jnp.arange(grid_y * grid_x, dtype=jnp.int32)
+    p = jnp.arange(TILE * TILE, dtype=jnp.int32)
+    px = (t % grid_x)[:, None] * TILE + (p % TILE)[None, :]
+    py = (t // grid_x)[:, None] * TILE + (p // TILE)[None, :]
+    return ((px < cam.image_width) & (py < cam.image_height)).astype(
+        jnp.float32
+    )
+
+
+def rasterize_tiled_blocks(
+    means3d: jax.Array,
+    colors: jax.Array,
+    opacities: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    cam: Camera,
+    cfg: RasterConfig = RasterConfig(),
+    active: jax.Array | None = None,
+    means2d_dummy: jax.Array | None = None,
+    binned=None,
+    grad_feats: int | None = None,
+    carry_depth_grad: bool = True,
+):
+    """Pallas render returning raw CHANNEL-MAJOR tile blocks (no image).
+
+    ``grad_feats`` / ``carry_depth_grad`` narrow the gradient rows carried
+    through the instance->gaussian reduction — legal ONLY when the caller's
+    loss provably has zero cotangents for the dropped channels (see
+    rasterize_tiles_pallas).
+
+    Returns (res: PallasRasterOut, aux: RenderAux, proj). The custom-vjp
+    boundary sits at the blocks, so a loss computed in tile layout
+    backpropagates straight into the kernels with zero tiles<->image
+    shuffles (each full 8-channel shuffle + its AD transpose costs ~26 MB of
+    HBM traffic at SLAM resolution). `rasterize_tiled` (image API) wraps
+    this; `core/losses.py slam_loss` consumes it directly.
+    """
+    from splatam_tpu.render.binning import bin_gaussians_csr
     from splatam_tpu.render.pallas_raster import (
+        SAT_INF,
         pack_attrs,
         rasterize_tiles_pallas,
     )
 
+    opacities = opacities.reshape(-1)
+    if cfg.chunk % 128 != 0:
+        raise ValueError("pallas backend needs chunk % 128 == 0")
+    proj = preprocess(means3d, scales, rotations, cam, active=active)
+    proj_ng = jax.tree.map(jax.lax.stop_gradient, proj)
+    blend_xy = proj.means2d
+    if means2d_dummy is not None:
+        scale_ndc = jnp.array(
+            [0.5 * cam.image_width, 0.5 * cam.image_height], dtype=jnp.float32
+        )
+        blend_xy = blend_xy + means2d_dummy * scale_ndc
+    grid_x = (cam.image_width + TILE - 1) // TILE
+    grid_y = (cam.image_height + TILE - 1) // TILE
+    if binned is None:
+        binned = bin_gaussians_csr(proj_ng, cam, cfg, opacities=opacities)
     nfeat = colors.shape[-1]
     attrs = pack_attrs(blend_xy, proj.conic, opacities, proj.depths, colors)
     res = rasterize_tiles_pallas(
-        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, nfeat=nfeat,
+        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk,
+        nfeat=nfeat if grad_feats is None else grad_feats,
         reduction=cfg.reduction, scan_impl=cfg.scan_impl,
+        carry_depth=carry_depth_grad,
     )
+    sat_raw = jax.lax.stop_gradient(res.aux[:, 2, 0])
+    aux = RenderAux(
+        overflow=binned.overflow,
+        num_instances=binned.num_instances,
+        sat_depth=jnp.where(sat_raw < SAT_INF, sat_raw, jnp.inf),
+    )
+    return res, aux, proj
 
-    # Convert the full 8-channel blocks to image layout FIRST and do all
-    # channel slicing / bg compose / masking there: the kernels emit
-    # channel-major (T, 8, 256) blocks (PallasRasterOut), so both this
-    # reshuffle and per-channel slices are lane-dense.
-    from splatam_tpu.render.pallas_raster import NFEAT_PAD
 
+def _assemble_image(
+    res, aux, proj, nfeat, cam, grid_x, grid_y
+) -> tuple[RenderOutput, RenderAux]:
+    """Raw pallas tile blocks -> image-layout RenderOutput.
+
+    Converts the full 8-channel blocks to image layout FIRST and does all
+    channel slicing / bg compose / masking there: the kernels emit
+    channel-major (T, 8, NPIX) blocks (PallasRasterOut), so both the
+    reshuffle and per-channel slices are lane-dense. Loss paths that don't
+    need images at all should consume `rasterize_tiled_blocks` directly.
+    """
     color_img = _blocks_to_image(res.color, grid_x, grid_y, cam)
     aux_img = _blocks_to_image(res.aux, grid_x, grid_y, cam)
     final_t = aux_img[1]
@@ -292,13 +375,5 @@ def _rasterize_pallas(
         radius=proj.radius,
         depth=depth_out[None],
         final_t=final_t,
-    )
-    from splatam_tpu.render.pallas_raster import SAT_INF
-
-    sat_raw = jax.lax.stop_gradient(res.aux[:, 2, 0])
-    aux = RenderAux(
-        overflow=binned.overflow,
-        num_instances=binned.num_instances,
-        sat_depth=jnp.where(sat_raw < SAT_INF, sat_raw, jnp.inf),
     )
     return out, aux

@@ -5,6 +5,9 @@
 LOG=${1:-/tmp/ab_sweep.log}
 cd "$(dirname "$0")/.."
 echo "=== ab_sweep $(date) ===" >> "$LOG"
+echo "--- parity gate $(date +%H:%M:%S)" >> "$LOG"
+timeout 1500 python tools/tpu_parity_check.py >> "$LOG" 2>&1
+echo "--- parity rc=$?" >> "$LOG"
 for mode in "" roll perm perm+roll roll+c256 scatter; do
   label=${mode:-baseline}
   echo "--- mode: $label $(date +%H:%M:%S)" >> "$LOG"

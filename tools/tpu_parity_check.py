@@ -42,8 +42,12 @@ def main():
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
 
     def loss_and_renders(gauss, backend):
+        scan = "mxu"
+        if backend.endswith("-roll"):
+            backend, scan = backend[:-5], "roll"
         cfg = RasterConfig(
-            max_instances=2**18, max_per_tile=1024, chunk=128, backend=backend
+            max_instances=2**18, max_per_tile=1024, chunk=128, backend=backend,
+            scan_impl=scan,
         )
         p = dict(params)
         p.update(gauss)
@@ -58,7 +62,7 @@ def main():
     gauss = {k: params[k] for k in GAUSSIAN_KEYS}
 
     results = {}
-    for backend in ("pallas", "jnp"):
+    for backend in ("pallas", "pallas-roll", "jnp"):
         f = jax.jit(
             lambda g, b=backend: jax.value_and_grad(
                 lambda gg: loss_and_renders(gg, b), has_aux=True
@@ -73,6 +77,7 @@ def main():
 
     lp, rp, gp = results["pallas"]
     lj, rj, gj = results["jnp"]
+    lr, rr, gr = results["pallas-roll"]
 
     ok = True
 
@@ -91,8 +96,9 @@ def main():
         print(msg + f" {'OK' if good else 'FAIL'}")
         ok &= bool(good)
 
-    print(f"loss pallas={lp:.6f} jnp={lj:.6f}")
+    print(f"loss pallas={lp:.6f} roll={lr:.6f} jnp={lj:.6f}")
     ok &= abs(lp - lj) < 1e-3 * max(abs(lj), 1.0)
+    ok &= abs(lr - lj) < 1e-3 * max(abs(lj), 1.0)
     # Forward tolerance: the kernels evaluate the exponent via an MXU
     # quadratic form while the oracle uses per-pair arithmetic; alphas that
     # land within ~1e-5 of the ALPHA_MIN=1/255 keep threshold can flip
@@ -104,6 +110,9 @@ def main():
         ("im", rp[0], rj[0], 5e-3, 1e-4),
         ("depth", rp[1], rj[1], 2e-2, 1e-3),
         ("silhouette", rp[2], rj[2], 5e-3, 1e-4),
+        ("im[roll]", rr[0], rj[0], 5e-3, 1e-4),
+        ("depth[roll]", rr[1], rj[1], 2e-2, 1e-3),
+        ("silhouette[roll]", rr[2], rj[2], 5e-3, 1e-4),
     ):
         check(nm, a, b, atol, q999=q)
     # Gradient tolerance: at this scene density (~400 instances/tile, deep
@@ -117,6 +126,7 @@ def main():
             print(f"grad[{k}]  ref ~ 0 (scale={scale:.1e}); skipped")
             continue
         check(f"grad[{k}]", gp[k] / scale, gj[k] / scale, 2e-2)
+        check(f"grad[{k}][roll]", gr[k] / scale, gj[k] / scale, 2e-2)
 
     if not ok:
         print("PARITY FAIL")
