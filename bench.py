@@ -55,9 +55,13 @@ def make_scene(n, w, h, seed=0):
 
 
 def parse_mode(base, mode: str | None):
-    """Apply `+`-separated A/B tokens to a RasterConfig."""
+    """Apply `+`-separated A/B tokens to a RasterConfig.
+
+    Returns (cfg, options) — non-RasterConfig tokens (notrim) land in
+    options."""
+    opts = {"trim": True}
     if not mode:
-        return base
+        return base, opts
     import dataclasses
 
     for tok in mode.split("+"):
@@ -67,9 +71,11 @@ def parse_mode(base, mode: str | None):
             base = dataclasses.replace(base, scan_impl=tok)
         elif tok.startswith("c") and tok[1:].isdigit():
             base = dataclasses.replace(base, chunk=int(tok[1:]))
+        elif tok == "notrim":
+            opts["trim"] = False
         else:
             raise SystemExit(f"unknown bench mode token: {tok}")
-    return base
+    return base, opts
 
 
 def setup(mode: str | None = None, iters: int = 10, rebin_every: int = 10):
@@ -103,7 +109,7 @@ def setup(mode: str | None = None, iters: int = 10, rebin_every: int = 10):
             params, jnp.ones(n, bool), rot, tran, cam
         )
     )
-    base = parse_mode(
+    base, opts = parse_mode(
         RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128), mode
     )
     cfg0 = sized_config(total, base)
@@ -145,14 +151,19 @@ def setup(mode: str | None = None, iters: int = 10, rebin_every: int = 10):
         gauss, compute_binned(params, active, rot, tran, cam, cfg1)
     )
     assert not bool(probe_out.overflow), "probe capacity overflow — sizing bug"
-    sat0 = probe_out.sat_depth
-    probe2 = compute_binned(params, active, rot, tran, cam, cfg1, sat0)
-    cfg = sized_config(
-        total,
-        base,
-        num_kept=int(probe2.num_instances),
-        chunks_used=int(probe2.padded_total) // base.chunk,
-    )
+    if opts["trim"]:
+        sat0 = probe_out.sat_depth
+        probe2 = compute_binned(params, active, rot, tran, cam, cfg1, sat0)
+        cfg = sized_config(
+            total,
+            base,
+            num_kept=int(probe2.num_instances),
+            chunks_used=int(probe2.padded_total) // base.chunk,
+        )
+    else:  # A/B token `notrim`: no saturation caps, untrimmed capacities
+        sat0 = jnp.full_like(probe_out.sat_depth, jnp.inf)
+        probe2 = probe
+        cfg = cfg1
 
     full_loss = make_loss(cfg)
 
