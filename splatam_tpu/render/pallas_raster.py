@@ -974,23 +974,32 @@ def segment_reduce_by_perm(
     once per (re)binning.
     """
     r, m = vals.shape
+    v = len(value_rows)
     sel = jnp.stack([vals[i] for i in value_rows], axis=0)  # (V, M)
     gt = jnp.concatenate(
-        [sel.T, jnp.zeros((1, len(value_rows)), jnp.float32)], axis=0
+        [sel.T, jnp.zeros((1, v), jnp.float32)], axis=0
     )  # (M+1, V); row M = pad
     idx = jax.lax.optimization_barrier(slot_pos)
     rows = jnp.take(gt, idx, axis=0)  # (K, V) gid-major
     rows = jax.lax.optimization_barrier(rows)
-    cs = jnp.concatenate(
-        [jnp.zeros((1, len(value_rows)), jnp.float32), jnp.cumsum(rows, axis=0)],
-        axis=0,
-    )  # (K+1, V); cs[j] = sum of first j rows
+    # transpose back to value-major for the scan: a lane-major cumsum +
+    # boundary takes mirror segment_reduce_by_key's measured-fast layout
+    # (a major-dim cumsum over a (K, V) array walks K in log steps on an
+    # 11-lane-wide operand)
+    cs = jnp.cumsum(rows.T, axis=1)  # (V, K)
+    ends = slot_off
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), slot_off[:-1]])
-    seg = jnp.take(cs, slot_off, axis=0) - jnp.take(cs, starts, axis=0)  # (N, V)
+    seg_end = jnp.take(cs, jnp.clip(ends - 1, 0, None), axis=1)  # (V, N)
+    seg_start = jnp.where(
+        (starts > 0)[None, :],
+        jnp.take(cs, jnp.clip(starts - 1, 0, None), axis=1),
+        0.0,
+    )
+    seg = jnp.where((ends > starts)[None, :], seg_end - seg_start, 0.0)
     n = slot_off.shape[0]
     full = [jnp.zeros((1, n), jnp.float32)] * r
     for j, i in enumerate(value_rows):
-        full[i] = seg[:, j : j + 1].T
+        full[i] = seg[j : j + 1]
     return jnp.concatenate(full, axis=0)
 
 
