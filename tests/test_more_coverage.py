@@ -209,3 +209,20 @@ def test_sized_config_counts_instances():
     # count_instances is the rect-based capacity bound; the tile-alpha
     # cull can only shrink the emitted stream
     assert 0 < int(aux.num_instances) <= total
+
+
+def test_bench_setup_and_run_smoke():
+    """The benchmark's measured program (setup + chained-chunk run) executes
+    end-to-end on a tiny scene: finite loss, no capacity overflow, and the
+    mode tokens parse into the advertised RasterConfig levers."""
+    import bench
+
+    b = bench.setup("perm+roll", iters=2, rebin_every=2, n=2000, w=96, h=64)
+    assert b["cfg"].reduction == "perm" and b["cfg"].scan_impl == "roll"
+    loss = b["run"](b["gauss"], b["sat0"])
+    assert np.isfinite(float(loss))
+
+    import pytest
+
+    with pytest.raises(AssertionError):
+        bench.setup(None, iters=3, rebin_every=2, n=2000, w=96, h=64)

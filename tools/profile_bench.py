@@ -79,11 +79,11 @@ def main():
             if nm not in meta and e.get("args"):
                 meta[nm] = e["args"]
     print(f"process names: {sorted(set(pid_names.values()))}")
-    print(f"total device-op time: {total_us/1000:.2f} ms over {args.iters}+1 iters")
-    print(f"per-iter: {total_us/1000/(args.iters+1):.2f} ms")
+    print(f"total device-op time: {total_us/1000:.2f} ms over {args.iters} iters")
+    print(f"per-iter: {total_us/1000/(args.iters):.2f} ms")
     print(f"{'op':<52} {'tot ms':>8} {'n':>5} {'per-iter':>9}")
     for nm, us in agg.most_common(args.top):
-        print(f"{nm[:52]:<52} {us/1000:>8.2f} {cnt[nm]:>5} {us/1000/(args.iters+1):>9.3f}")
+        print(f"{nm[:52]:<52} {us/1000:>8.2f} {cnt[nm]:>5} {us/1000/(args.iters):>9.3f}")
         info = meta.get(nm, {})
         ln = info.get("long_name") or info.get("hlo_op") or ""
         src = info.get("source_info") or ""
