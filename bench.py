@@ -57,9 +57,9 @@ def make_scene(n, w, h, seed=0):
 def parse_mode(base, mode: str | None):
     """Apply `+`-separated A/B tokens to a RasterConfig.
 
-    Returns (cfg, options) — non-RasterConfig tokens (notrim) land in
-    options."""
-    opts = {"trim": True}
+    Returns (cfg, options) — non-RasterConfig tokens (notrim, align) land
+    in options."""
+    opts = {"trim": True, "align": False}
     if not mode:
         return base, opts
     import dataclasses
@@ -73,6 +73,8 @@ def parse_mode(base, mode: str | None):
             base = dataclasses.replace(base, chunk=int(tok[1:]))
         elif tok == "notrim":
             opts["trim"] = False
+        elif tok == "align":
+            opts["align"] = True
         else:
             raise SystemExit(f"unknown bench mode token: {tok}")
     return base, opts
@@ -170,6 +172,27 @@ def setup(
         probe2 = probe
         cfg = cfg1
 
+    tile_rank = None
+    if opts["align"]:
+        # A/B token `align`: chunk-align window boundaries by reordering
+        # tile segments (binning.alignment_order) and size the chunk grid
+        # to the aligned layout. The rank is fixed from the probe counts
+        # (host constant); counts drift during the bench is negligible and
+        # exactness never depends on it.
+        from splatam_tpu.render.binning import alignment_order
+
+        tile_rank = np.asarray(alignment_order(probe2.counts, base.chunk))
+        probe3 = compute_binned(
+            params, active, rot, tran, cam, cfg1, sat0,
+            tile_rank=jnp.asarray(tile_rank),
+        )
+        cfg = sized_config(
+            total,
+            base,
+            num_kept=int(probe3.num_instances),
+            chunks_used=int(probe3.padded_total) // base.chunk,
+        )
+
     full_loss = make_loss(cfg)
 
     def loss_fn(gauss, binned=None):
@@ -179,7 +202,10 @@ def setup(
     def bin_now(g, sat):
         p = dict(params)
         p.update(g)
-        return compute_binned(p, active, rot, tran, cam, cfg, sat)
+        return compute_binned(
+            p, active, rot, tran, cam, cfg, sat,
+            tile_rank=None if tile_rank is None else jnp.asarray(tile_rank),
+        )
 
     assert iters % rebin_every == 0, "iters must be a multiple of rebin_every"
 

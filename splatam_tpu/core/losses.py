@@ -168,6 +168,7 @@ def compute_binned(
     cam: Camera,
     cfg: RasterConfig,
     depth_cap: jax.Array | None = None,
+    tile_rank: jax.Array | None = None,
 ):
     """Bin the scene at the given pose/params (pallas backend).
 
@@ -197,6 +198,7 @@ def compute_binned(
         jax.tree.map(jax.lax.stop_gradient, proj), cam, cfg,
         opacities=jax.nn.sigmoid(params["logit_opacities"]),
         depth_cap=depth_cap,
+        tile_rank=tile_rank,
     )
 
 

@@ -166,6 +166,85 @@ CULL_EPS = 1e-3
 SAT_MARGIN = 1.05
 
 
+def alignment_order(counts: jax.Array, chunk: int) -> jax.Array:
+    """(T,) int32 sort rank per tile that chunk-aligns window boundaries.
+
+    The flat-chunk-grid kernels pay one grid step per chunk of every tile's
+    aligned window, so the grid size is ``K/chunk + #(tiles whose stream
+    segment ends off a chunk boundary)`` — with tiles in raster order that
+    second term is ~one extra step per non-empty tile (+30-50% grid steps on
+    SplaTAM scenes). Reordering tiles in the (tile, depth) sort key changes
+    NO render output (compositing is per tile; cross-tile stream order is
+    arbitrary), but choosing the order so consecutive residues complement
+    (r1 + r2 = chunk) aligns every pair boundary:
+
+      1. tiles whose count % chunk == r pair with tiles of residue
+         chunk - r (r == chunk/2 pairs within itself); each matched pair's
+         combined segment ends chunk-aligned — one saved step per pair;
+      2. residue-0 tiles ride directly after the paired block, staying
+         aligned for free — one saved step each;
+      3. unmatched tiles and empty tiles trail (their cost is
+         position-independent).
+
+    Feed ``counts`` from the previous rebin's `BinnedCSR.counts`: exactness
+    never depends on the counts (ANY rank array is valid — stale counts only
+    degrade the step savings). Cost: a few (T,)-sized sorts at bin time.
+    """
+    t_len = counts.shape[0]
+    t = jnp.arange(t_len, dtype=jnp.int32)
+    c = counts.astype(jnp.int32)
+    r = c % chunk
+    half = chunk // 2
+    pairable = r > 0
+    side = (r > half).astype(jnp.int32)
+    b = jnp.where(side == 1, chunk - r, r)  # complement bucket, 1..half
+    # sort pairable tiles by (bucket, side); non-pairable to the tail
+    key = jnp.where(pairable, b * 2 + side, 2 * half + 2)
+    skey, stile = jax.lax.sort((key, t), num_keys=1, is_stable=True)
+    pos = jnp.arange(t_len, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), skey[1:] != skey[:-1]]
+    )
+    gstart = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0)
+    )
+    grank = pos - gstart  # rank within the (bucket, side) group
+    sb = skey // 2
+    sside = skey % 2
+    # the self-complementary bucket (r == chunk/2) alternates sides by parity
+    is_half = (sb == half) & (skey < 2 * half + 2)
+    sside = jnp.where(is_half, grank % 2, sside)
+    grank = jnp.where(is_half, grank // 2, grank)
+    # per-(bucket, side) sizes -> pairs per bucket (tiny histogram scatter)
+    nbins = 2 * (half + 1)
+    bin_id = jnp.where(skey < 2 * half + 2, sb * 2 + sside, nbins)
+    hist = jnp.zeros(nbins + 1, jnp.int32).at[bin_id].add(1)[:nbins]
+    mb = jnp.minimum(hist[0::2], hist[1::2])  # (half+1,) pairs per bucket
+    pair_base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(mb)[:-1]]
+    )
+    matched = (skey < 2 * half + 2) & (grank < mb[sb])
+    pair_id = pair_base[sb] + grank
+    # order: matched pairs (side0 then side1 inside a pair), then aligned
+    # residue-0 tiles, then unmatched, then empty tiles
+    sc = c[stile]
+    aligned = (~matched) & (sc > 0) & (sc % chunk == 0)
+    empty_t = sc == 0
+    order_key = jnp.where(
+        matched,
+        pair_id * 2 + sside,
+        jnp.where(
+            aligned,
+            t_len + stile,
+            jnp.where(empty_t, 3 * t_len + stile, 2 * t_len + stile),
+        ),
+    )
+    # rank[tile] = position of `tile` in the order
+    _, otile = jax.lax.sort((order_key, stile), num_keys=1, is_stable=True)
+    _, rank = jax.lax.sort((otile, pos), num_keys=1, is_stable=True)
+    return rank
+
+
 def _expand_instances(
     proj: Projected,
     cam: Camera,
@@ -173,6 +252,7 @@ def _expand_instances(
     opacities: jax.Array | None = None,
     carry_slot: bool = False,
     depth_cap: jax.Array | None = None,
+    tile_rank: jax.Array | None = None,
 ):
     """Instance expansion + per-tile alpha cull + (tile, depth) sort.
 
@@ -290,6 +370,17 @@ def _expand_instances(
     keep = in_use & ~dropped
 
     tile_id = jnp.where(keep, ty * grid_x + tx, num_tiles)
+    if tile_rank is not None:
+        # sort by the alignment rank instead of the raster tile id: changes
+        # only the cross-tile stream order (render-exact for ANY rank array;
+        # see alignment_order). Same barrier treatment as the depth_cap
+        # lookup — keep the (T,)-table gather out of scalar-space fusions.
+        tid0 = jnp.clip(tile_id, 0, num_tiles - 1)
+        rk = jnp.take(tile_rank, jax.lax.optimization_barrier(tid0))
+        rk = jax.lax.optimization_barrier(rk)
+        tile_key = jnp.where(keep, rk, num_tiles)
+    else:
+        tile_key = tile_id
     total_kept = jnp.sum(keep.astype(jnp.int32))
 
     # surviving instances per gaussian = tiles_touched - dropped-in-group,
@@ -310,7 +401,7 @@ def _expand_instances(
         jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32),
         jnp.inf,
     )
-    operands = (tile_id.astype(jnp.int32), depth_key, gid_safe)
+    operands = (tile_key.astype(jnp.int32), depth_key, gid_safe)
     if carry_slot:
         # reduction='perm' needs the sort permutation itself (slot index of
         # each sorted position) to precompute slot_pos; one extra carried
@@ -334,11 +425,17 @@ def bin_gaussians_csr(
     cfg: RasterConfig,
     opacities: jax.Array | None = None,
     depth_cap: jax.Array | None = None,
+    tile_rank: jax.Array | None = None,
 ) -> BinnedCSR:
     """Chunk-aligned-window binning for the Pallas flat-chunk-grid kernels.
 
     ``depth_cap`` ((num_tiles,) f32) trims each tile's list at its measured
-    saturation depth — see `_expand_instances`.
+    saturation depth — see `_expand_instances`. ``tile_rank`` ((num_tiles,)
+    int32, a permutation rank per tile — see `alignment_order`) reorders
+    tile segments within the sorted stream to chunk-align window boundaries;
+    the window/chunk bookkeeping below then runs in RANK space while
+    `chunk_meta` and `counts` keep true tile ids, so the kernels and their
+    output index maps are unchanged.
     """
     chunk = cfg.chunk
     (
@@ -346,7 +443,7 @@ def bin_gaussians_csr(
         total_kept, kept_hist, slot_off,
     ) = _expand_instances(
         proj, cam, cfg, opacities, carry_slot=cfg.reduction == "perm",
-        depth_cap=depth_cap,
+        depth_cap=depth_cap, tile_rank=tile_rank,
     )
     k = cfg.max_instances
     ks = cfg.max_stream or k  # post-cull stream capacity
@@ -376,6 +473,9 @@ def bin_gaussians_csr(
     padded_total = used * chunk
 
     c_idx = jnp.arange(nc, dtype=jnp.int32)
+    # `chunk_tile` is a RANK when tile_rank is given (the searchsorted
+    # ranges above segment the rank-sorted stream); perm maps rank -> true
+    # tile id for the kernel-facing metadata
     chunk_tile = jnp.repeat(
         jnp.arange(num_tiles, dtype=jnp.int32), nchunks, total_repeat_length=nc
     )
@@ -394,7 +494,18 @@ def bin_gaussians_csr(
     lim = jnp.where(in_use & nonempty, lim, 0)
     prev_tile = jnp.concatenate([jnp.full(1, -1, jnp.int32), chunk_tile[:-1]])
     first = ((chunk_tile != prev_tile) & in_use).astype(jnp.int32)
-    chunk_meta = (chunk_tile << 1) | first
+    if tile_rank is not None:
+        _, perm = jax.lax.sort(
+            (tile_rank.astype(jnp.int32),
+             jnp.arange(num_tiles, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )  # perm[rank] = true tile id
+        chunk_true = jnp.take(perm, chunk_tile)
+        counts_true = jnp.take(counts, tile_rank)
+    else:
+        chunk_true = chunk_tile
+        counts_true = counts
+    chunk_meta = (chunk_true << 1) | first
     chunk_lim = (skip.astype(jnp.int32) << 16) | lim.astype(jnp.int32)
 
     slot_pos = None
@@ -428,7 +539,7 @@ def bin_gaussians_csr(
         chunk_blk=blk,
         chunk_meta=chunk_meta,
         chunk_lim=chunk_lim,
-        counts=counts,
+        counts=counts_true,
         gid_hist=kept_hist,
         num_instances=total_kept,
         padded_total=padded_total,

@@ -217,7 +217,9 @@ def test_bench_setup_and_run_smoke():
     mode tokens parse into the advertised RasterConfig levers."""
     import bench
 
-    b = bench.setup("perm+roll", iters=2, rebin_every=2, n=2000, w=96, h=64)
+    b = bench.setup(
+        "perm+roll+align", iters=2, rebin_every=2, n=2000, w=96, h=64
+    )
     assert b["cfg"].reduction == "perm" and b["cfg"].scan_impl == "roll"
     loss = b["run"](b["gauss"], b["sat0"])
     assert np.isfinite(float(loss))
