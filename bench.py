@@ -10,7 +10,8 @@ working estimate from the reference's reported tracking-iteration times —
 2 fwd + 2 bwd of a 0.8 Mpix frame per ~15 ms iteration on datacenter GPUs).
 
 `python bench.py <mode>` A/B-tests RasterConfig levers, with `+`-separated
-tokens: reduction (sort|perm|scatter), scan_impl (mxu|roll), chunk (c256).
+tokens: reduction (sort|perm|scatter), scan_impl (mxu|roll), chunk (c256),
+saturation trim (notrim), window alignment (noalign).
 """
 from __future__ import annotations
 
@@ -57,9 +58,9 @@ def make_scene(n, w, h, seed=0):
 def parse_mode(base, mode: str | None):
     """Apply `+`-separated A/B tokens to a RasterConfig.
 
-    Returns (cfg, options) — non-RasterConfig tokens (notrim, align) land
+    Returns (cfg, options) — non-RasterConfig tokens (notrim, noalign) land
     in options."""
-    opts = {"trim": True, "align": False}
+    opts = {"trim": True, "align": True}
     if not mode:
         return base, opts
     import dataclasses
@@ -73,8 +74,8 @@ def parse_mode(base, mode: str | None):
             base = dataclasses.replace(base, chunk=int(tok[1:]))
         elif tok == "notrim":
             opts["trim"] = False
-        elif tok == "align":
-            opts["align"] = True
+        elif tok in ("align", "noalign"):
+            opts["align"] = tok == "align"
         else:
             raise SystemExit(f"unknown bench mode token: {tok}")
     return base, opts
@@ -174,11 +175,11 @@ def setup(
 
     tile_rank = None
     if opts["align"]:
-        # A/B token `align`: chunk-align window boundaries by reordering
-        # tile segments (binning.alignment_order) and size the chunk grid
-        # to the aligned layout. The rank is fixed from the probe counts
-        # (host constant); counts drift during the bench is negligible and
-        # exactness never depends on it.
+        # Default (A/B token `noalign` disables): chunk-align window
+        # boundaries by reordering tile segments (binning.alignment_order)
+        # and size the chunk grid to the aligned layout. The rank is fixed
+        # from the probe counts (host constant); counts drift during the
+        # bench is negligible and exactness never depends on it.
         from splatam_tpu.render.binning import alignment_order
 
         tile_rank = np.asarray(alignment_order(probe2.counts, base.chunk))

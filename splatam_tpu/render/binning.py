@@ -14,6 +14,7 @@ higher capacity (SURVEY.md §7 hard-part #1).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -65,6 +66,12 @@ class RasterConfig:
     # max_instances/chunk + num_tiles and cannot overflow); kept so configs
     # that set it keep loading.
     pad_slack: float = 0.65
+    # Reorder tile segments in the sorted stream so window boundaries land
+    # on chunk edges (alignment_order): ~13-18% fewer kernel grid steps on
+    # SplaTAM scenes, render-exact. Drivers that carry counts between rebins
+    # (slam/pipeline.py, bench.py) honor this; one-shot renders have no
+    # previous counts and bin identity-ordered regardless.
+    align_windows: bool = True
     # Mesh axis name to shard image tiles over (the DP analog for this
     # workload, SURVEY.md §2.3). None = single device. Requires an ambient
     # mesh (jax.sharding.use_mesh) with this axis; GSPMD partitions the
@@ -166,6 +173,7 @@ CULL_EPS = 1e-3
 SAT_MARGIN = 1.05
 
 
+@partial(jax.jit, static_argnums=(1,))
 def alignment_order(counts: jax.Array, chunk: int) -> jax.Array:
     """(T,) int32 sort rank per tile that chunk-aligns window boundaries.
 

@@ -33,7 +33,7 @@ from splatam_tpu.core.params import (
 )
 from splatam_tpu.core.losses import compute_binned
 from splatam_tpu.core.transforms import matrix_to_quaternion, pose_to_w2c
-from splatam_tpu.render.binning import RasterConfig
+from splatam_tpu.render.binning import RasterConfig, alignment_order
 from splatam_tpu.slam.densify import add_new_gaussians
 from splatam_tpu.slam.initialize import initialize_first_timestep
 from splatam_tpu.slam.inria_densify import (
@@ -304,7 +304,7 @@ def rgbd_slam(
                         if viz_track:
                             _viz_segment(res, n)
                         return res
-                    res, done = None, 0
+                    res, done, prev_binned = None, 0, None
                     while done < n:
                         step = min(rebin, n - done)
                         if res is None:
@@ -312,10 +312,19 @@ def rgbd_slam(
                         else:
                             pose = (res.final_rot, res.final_tran)
                             rstate = res.resume_state
+                        # chunk-align windows using the previous rebin's
+                        # per-tile counts (render-exact for any rank;
+                        # binning.alignment_order)
+                        tile_rank = None
+                        if raster_cfg.align_windows and prev_binned is not None:
+                            tile_rank = alignment_order(
+                                prev_binned.counts, raster_cfg.chunk
+                            )
                         binned = compute_binned(
                             gauss_only, variables["active"], pose[0], pose[1],
-                            track_cam, raster_cfg,
+                            track_cam, raster_cfg, tile_rank=tile_rank,
                         )
+                        prev_binned = binned
                         res = run_track_once(step, resume=rstate, binned=binned)
                         done += step
                         if viz_track:
@@ -440,12 +449,17 @@ def rgbd_slam(
                     if map_rebin:
                         cached = binned_cache.get(kf["id"])
                         if cached is None or it - cached[1] >= map_rebin:
+                            tile_rank = None
+                            if raster_cfg.align_windows and cached is not None:
+                                tile_rank = alignment_order(
+                                    cached[0].counts, raster_cfg.chunk
+                                )
                             cached = (
                                 compute_binned(
                                     gauss_map, variables["active"],
                                     jax.lax.stop_gradient(kf_rot),
                                     jax.lax.stop_gradient(kf_tran),
-                                    cam, raster_cfg,
+                                    cam, raster_cfg, tile_rank=tile_rank,
                                 ),
                                 it,
                             )

@@ -8,7 +8,7 @@ echo "=== ab_sweep $(date) ===" >> "$LOG"
 echo "--- parity gate $(date +%H:%M:%S)" >> "$LOG"
 timeout 1500 python tools/tpu_parity_check.py >> "$LOG" 2>&1
 echo "--- parity rc=$?" >> "$LOG"
-for mode in "" notrim roll perm perm+roll roll+c256 scatter align perm+roll+align; do
+for mode in "" noalign notrim roll perm perm+roll roll+c256 scatter; do
   label=${mode:-baseline}
   echo "--- mode: $label $(date +%H:%M:%S)" >> "$LOG"
   timeout 1500 python bench.py "$mode" >> "$LOG" 2>&1
