@@ -24,9 +24,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    assert jax.default_backend() != "cpu", (
-        "parity check must run on the TPU (got cpu backend)"
-    )
+    assert jax.default_backend() != "cpu" or os.environ.get(
+        "SPLATAM_ALLOW_CPU_PARITY"
+    ), "parity check must run on the TPU (got cpu backend)"
 
     from bench import make_scene
     from splatam_tpu.core.losses import slam_loss
@@ -41,31 +41,57 @@ def main():
     gt_im = jnp.zeros((3, h, w), jnp.float32)
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
 
-    def loss_and_renders(gauss, backend):
-        scan = "mxu"
-        if backend.endswith("-roll"):
-            backend, scan = backend[:-5], "roll"
-        cfg = RasterConfig(
-            max_instances=2**18, max_per_tile=1024, chunk=128, backend=backend,
-            scan_impl=scan,
-        )
+    def make_cfg(backend):
+        # mode string: backend plus -roll / -perm / -scatter / -align tokens
+        scan, red, align = "mxu", "sort", False
+        for tok in backend.split("-")[1:]:
+            if tok == "roll":
+                scan = "roll"
+            elif tok in ("perm", "scatter"):
+                red = tok
+            elif tok == "align":
+                align = True
+        return RasterConfig(
+            max_instances=2**18, max_per_tile=1024, chunk=128,
+            backend=backend.split("-")[0], scan_impl=scan, reduction=red,
+        ), align
+
+    def loss_and_renders(gauss, backend, binned=None):
+        cfg, _ = make_cfg(backend)
         p = dict(params)
         p.update(gauss)
         out = slam_loss(
             p, active, rot, tran, gt_im, gt_depth, cam, cfg,
             tracking=False, loss_w_im=0.5, loss_w_depth=1.0,
             use_sil_for_loss=False, sil_thres=0.5,
-            ignore_outlier_depth_loss=False,
+            ignore_outlier_depth_loss=False, binned=binned,
         )
         return out.loss, (out.im, out.depth, out.silhouette)
 
     gauss = {k: params[k] for k in GAUSSIAN_KEYS}
 
+    from splatam_tpu.core.losses import compute_binned
+    from splatam_tpu.render.binning import alignment_order
+
+    modes = (
+        "pallas", "pallas-roll", "pallas-perm", "pallas-scatter",
+        "pallas-align", "pallas-roll-perm-align", "jnp",
+    )
     results = {}
-    for backend in ("pallas", "pallas-roll", "jnp"):
+    for backend in modes:
+        cfg_b, align = make_cfg(backend)
+        binned = None
+        if align:
+            # aligned-window layout: rank from a probe binning's counts,
+            # exactly as the SLAM driver feeds the previous rebin's counts
+            probe = compute_binned(params, active, rot, tran, cam, cfg_b)
+            rank = alignment_order(probe.counts, cfg_b.chunk)
+            binned = compute_binned(
+                params, active, rot, tran, cam, cfg_b, tile_rank=rank
+            )
         f = jax.jit(
-            lambda g, b=backend: jax.value_and_grad(
-                lambda gg: loss_and_renders(gg, b), has_aux=True
+            lambda g, b=backend, bn=binned: jax.value_and_grad(
+                lambda gg: loss_and_renders(gg, b, bn), has_aux=True
             )(g)
         )
         (loss, renders), grads = f(gauss)
@@ -75,9 +101,7 @@ def main():
             {k: np.asarray(v) for k, v in grads.items()},
         )
 
-    lp, rp, gp = results["pallas"]
     lj, rj, gj = results["jnp"]
-    lr, rr, gr = results["pallas-roll"]
 
     ok = True
 
@@ -96,9 +120,12 @@ def main():
         print(msg + f" {'OK' if good else 'FAIL'}")
         ok &= bool(good)
 
-    print(f"loss pallas={lp:.6f} roll={lr:.6f} jnp={lj:.6f}")
-    ok &= abs(lp - lj) < 1e-3 * max(abs(lj), 1.0)
-    ok &= abs(lr - lj) < 1e-3 * max(abs(lj), 1.0)
+    print("loss jnp=%.6f  " % lj + "  ".join(
+        f"{m}={results[m][0]:.6f}"
+        for m in modes if m != "jnp"
+    ))
+    for m in modes:
+        ok &= abs(results[m][0] - lj) < 1e-3 * max(abs(lj), 1.0)
     # Forward tolerance: the kernels evaluate the exponent via an MXU
     # quadratic form while the oracle uses per-pair arithmetic; alphas that
     # land within ~1e-5 of the ALPHA_MIN=1/255 keep threshold can flip
@@ -106,15 +133,14 @@ def main():
     # from ANY reimplementation the same way), and each flip moves a pixel
     # by at most ~alpha_min * T * feature. Hence: max error bounded by
     # ~ALPHA_MIN, 99.9th percentile pinned at f32-noise level.
-    for nm, a, b, atol, q in (
-        ("im", rp[0], rj[0], 5e-3, 1e-4),
-        ("depth", rp[1], rj[1], 2e-2, 1e-3),
-        ("silhouette", rp[2], rj[2], 5e-3, 1e-4),
-        ("im[roll]", rr[0], rj[0], 5e-3, 1e-4),
-        ("depth[roll]", rr[1], rj[1], 2e-2, 1e-3),
-        ("silhouette[roll]", rr[2], rj[2], 5e-3, 1e-4),
-    ):
-        check(nm, a, b, atol, q999=q)
+    for m in modes:
+        if m == "jnp":
+            continue
+        tag = m.removeprefix("pallas")
+        rm = results[m][1]
+        check(f"im{tag}", rm[0], rj[0], 5e-3, q999=1e-4)
+        check(f"depth{tag}", rm[1], rj[1], 2e-2, q999=1e-3)
+        check(f"silhouette{tag}", rm[2], rj[2], 5e-3, q999=1e-4)
     # Gradient tolerance: at this scene density (~400 instances/tile, deep
     # saturated alpha stacks) the two f32 formulations (log-space MXU cumsum
     # vs sequential cumprod) accumulate ~1e-2 relative elementwise noise in
@@ -125,8 +151,12 @@ def main():
         if scale < 1e-8:
             print(f"grad[{k}]  ref ~ 0 (scale={scale:.1e}); skipped")
             continue
-        check(f"grad[{k}]", gp[k] / scale, gj[k] / scale, 2e-2)
-        check(f"grad[{k}][roll]", gr[k] / scale, gj[k] / scale, 2e-2)
+        for m in modes:
+            if m == "jnp":
+                continue
+            tag = m.removeprefix("pallas")
+            check(f"grad[{k}]{tag}", results[m][2][k] / scale,
+                  gj[k] / scale, 2e-2)
 
     if not ok:
         print("PARITY FAIL")
