@@ -169,7 +169,8 @@ def setup(
             chunks_used=int(probe2.padded_total) // base.chunk,
         )
     else:  # A/B token `notrim`: no saturation caps, untrimmed capacities
-        sat0 = jnp.full_like(probe_out.sat_depth, jnp.inf)
+        num_tiles = ((w + 15) // 16) * ((h + 15) // 16)
+        sat0 = jnp.full((num_tiles,), jnp.inf, jnp.float32)
         probe2 = probe
         cfg = cfg1
 
@@ -228,9 +229,12 @@ def setup(
 
             def body(i, carry):
                 g, sat, _ = carry
-                (loss, sat), grads = jax.value_and_grad(
+                (loss, sat_new), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(g, binned)
+                # the jnp path reports no saturation depth (statically None);
+                # keep the carry structure stable
+                sat = sat if sat_new is None else sat_new
                 return (
                     jax.tree.map(lambda p, d: p + 1e-20 * d, g, grads),
                     sat,
