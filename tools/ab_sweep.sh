@@ -20,4 +20,10 @@ for mode in "" noalign notrim roll perm perm+roll roll+c256 scatter; do
     sleep 30
   fi
 done
+echo "--- step_overhead $(date +%H:%M:%S)" >> "$LOG"
+timeout 1500 python tools/step_overhead.py >> "$LOG" 2>&1
+echo "--- step_overhead c256 $(date +%H:%M:%S)" >> "$LOG"
+timeout 1500 python tools/step_overhead.py --chunk 256 --steps 4000 >> "$LOG" 2>&1
+echo "--- profile default $(date +%H:%M:%S)" >> "$LOG"
+timeout 2400 python tools/profile_bench.py --iters 10 --top 45 >> "$LOG" 2>&1
 echo "=== done $(date) ===" >> "$LOG"
