@@ -21,8 +21,9 @@ blending, atomicAdd gradient scatter — maps to TPU as:
   * blending    = the order-dependent transmittance recursion is evaluated
                   in closed form per chunk on the MXU: a triangular matmul
                   computes the cumulative sum of log(1 - alpha) along the
-                  gaussian axis; per-tile running state (T, dead mask, color
-                  accumulator) lives in VMEM scratch across grid steps.
+                  gaussian axis; per-tile running state (T with death in
+                  its sign bit, color accumulator) lives in VMEM scratch
+                  across grid steps.
   * scatter     = the backward kernel writes per-instance gradients densely
                   to a per-chunk output block (no write conflicts, no
                   atomics) WITH the owning gaussian id as a key row; the
@@ -108,7 +109,7 @@ def _cumprod_roll(one_minus: jax.Array, chunk: int):
     return x, excl
 
 
-def _chunk_transmittance(alpha, t_run, dead, scan_impl, chunk, tri=None):
+def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None):
     """Per-chunk transmittance state shared by the fwd/bwd kernels.
 
     Returns (t_before, t_cum, live, new_t_run). 'mxu' evaluates the
@@ -117,25 +118,34 @@ def _chunk_transmittance(alpha, t_run, dead, scan_impl, chunk, tri=None):
     (see _cumprod_roll) and recovers the live-masked carry as the minimum
     live t_cum (t_cum is monotone along the chunk, so the product of live
     factors equals the last live t_cum).
+
+    The carry encodes pixel DEATH in its sign: alive pixels carry the
+    live-masked transmittance (>= T_STOP by the carry invariant); once the
+    full-chunk product falls below T_STOP the carry flips negative with
+    unchanged magnitude (the pre-crossing product — the value the CUDA
+    `done` early-out leaves in T, `forward.cu:314-328`). A negative carry
+    propagates through t_before/t_cum, so `live = t_cum >= T_STOP` needs
+    NO separate per-pixel dead mask (that mask cost a VMEM scratch plus
+    per-pair mask arithmetic in every kernel); tile outputs report
+    abs(t_run), and "any pixel alive" is max(t_run) > 0.
     """
     if scan_impl == "roll":
         one_minus = 1.0 - alpha
         _, excl = _cumprod_roll(one_minus, chunk)
         t_before = t_run * excl
         t_cum = t_before * one_minus
-        live = (t_cum >= T_STOP) & (dead == 0.0)
-        new_t_run = jnp.min(
-            jnp.where(live, t_cum, t_run), axis=1, keepdims=True
+        live = t_cum >= T_STOP
+        m = jnp.min(jnp.where(live, t_cum, t_run), axis=1, keepdims=True)
+    else:
+        log1m = jnp.log1p(-alpha)
+        incl = _cumsum_mxu(log1m, tri)
+        t_before = t_run * jnp.exp(incl - log1m)
+        t_cum = t_before * (1.0 - alpha)
+        live = t_cum >= T_STOP
+        m = t_run * jnp.exp(
+            jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
         )
-        return t_before, t_cum, live, new_t_run
-    log1m = jnp.log1p(-alpha)
-    incl = _cumsum_mxu(log1m, tri)
-    t_before = t_run * jnp.exp(incl - log1m)
-    t_cum = t_before * (1.0 - alpha)
-    live = (t_cum >= T_STOP) & (dead == 0.0)
-    new_t_run = t_run * jnp.exp(
-        jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
-    )
+    new_t_run = jnp.where(t_cum[:, -1:] < T_STOP, -jnp.abs(m), m)
     return t_before, t_cum, live, new_t_run
 
 
@@ -326,9 +336,13 @@ def _chunk_alpha_mxu(blk, phi27, t, skip, lim, chunk, grid_x):
     # clamp (not drop) positive power — see reference.py: identical for PD
     # conics, robust to the matmul's ~1e-5 noise at near-mean pixels
     epow = jnp.exp(jnp.minimum(power_raw, 0.0))
-    raw = op * epow
+    # window rows outside [skip, lim) belong to a neighboring tile; zeroing
+    # the (1, chunk) opacity row masks them through raw/alpha/keep with no
+    # per-pair mask arithmetic
+    op_m = jnp.where((row >= skip) & (row < lim), op, 0.0)
+    raw = op_m * epow
     alpha = jnp.minimum(ALPHA_CAP, raw)
-    keep = (alpha >= ALPHA_MIN) & (row >= skip) & (row < lim)
+    keep = alpha >= ALPHA_MIN
     alpha = jnp.where(keep, alpha, 0.0)
     # positions where the clamp engaged get no position/conic gradient
     # (mirrors XLA-AD of jnp.minimum(power, 0))
@@ -355,9 +369,10 @@ def _chunk_alpha(blk, px, py, skip, lim, chunk):
     power_raw = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     # clamp (not drop) positive power — see reference.py
     epow = jnp.exp(jnp.minimum(power_raw, 0.0))
-    raw = op * epow
+    op_m = jnp.where((row >= skip) & (row < lim), op, 0.0)
+    raw = op_m * epow
     alpha = jnp.minimum(ALPHA_CAP, raw)
-    keep = (alpha >= ALPHA_MIN) & (row >= skip) & (row < lim)
+    keep = alpha >= ALPHA_MIN
     alpha = jnp.where(keep, alpha, 0.0)
     grad_ok = power_raw <= 0.0
     return alpha, raw, epow, dx, dy, keep, grad_ok
@@ -404,8 +419,7 @@ def _fwd_kernel(
     phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
     color_ref,  # (1, NFEAT_PAD, NPIX) block of the owning tile (channel-major)
     aux_ref,  # (1, 8, NPIX): row 0=median depth, row 1=final T, row 2=sat depth
-    t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance
-    dead_sc,  # (NPIX, 1) f32 scratch: 0/1 dead mask
+    t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance; sign = death
     depth_sc,  # (NPIX, 1) f32 scratch: median depth accumulator
     alive_sc,  # (1,) SMEM: 0 when every pixel of the tile is saturated
     satd_sc,  # (1,) SMEM f32: max stream depth actually processed this tile
@@ -421,7 +435,6 @@ def _fwd_kernel(
     @pl.when(first == 1)
     def _():
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         depth_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         color_ref[0] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
         alive_sc[0] = 1
@@ -436,10 +449,9 @@ def _fwd_kernel(
             blk, phi_ref[:], t, skip, lim, chunk, grid_x
         )
         t_run = t_run_sc[:]
-        dead = dead_sc[:]
 
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, dead, scan_impl, chunk, tri=_triangular(chunk)
+            alpha, t_run, scan_impl, chunk, tri=_triangular(chunk)
         )
 
         w = jnp.where(live, alpha * t_before, 0.0)
@@ -456,9 +468,7 @@ def _fwd_kernel(
         crossing = (t_before > 0.5) & (t_cum < 0.5) & live
         depth_sc[:] += jnp.sum(jnp.where(crossing, dep, 0.0), axis=1, keepdims=True)
         t_run_sc[:] = new_t_run
-        new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
-        dead_sc[:] = new_dead
-        alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
+        alive_sc[0] = (jnp.max(new_t_run) > 0.0).astype(jnp.int32)
         # stream is depth-sorted, so the max valid depth of the latest chunk
         # actually processed is the tile's running saturation-depth candidate
         row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -470,7 +480,11 @@ def _fwd_kernel(
     # one aux write + one (NPIX, 2) transpose per TILE, not per step
     @pl.when(_is_last(meta_ref, c, nc) == 1)
     def _():
-        dt = jnp.concatenate([depth_sc[:], t_run_sc[:]], axis=1).T  # (2, NPIX)
+        # abs: the carry's sign encodes death (_chunk_transmittance); the
+        # reported final T is the pre-crossing magnitude either way
+        dt = jnp.concatenate(
+            [depth_sc[:], jnp.abs(t_run_sc[:])], axis=1
+        ).T  # (2, NPIX)
         # row 2 = saturation depth cap: every instance deeper than this
         # contributed exactly nothing (all pixels dead before it was reached),
         # so the next (re)binning may drop deeper instances outright
@@ -500,7 +514,6 @@ def _bwd_kernel(
     resaux_ref,  # (1, 8, NPIX) forward aux (final T at row 1)
     ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
     t_run_sc,
-    dead_sc,
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
     alive_sc,
     gdep_sc,  # (NPIX, 1) per-tile constant: dL/d median depth column
@@ -517,7 +530,6 @@ def _bwd_kernel(
     @pl.when(first == 1)
     def _():
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
 
@@ -562,7 +574,6 @@ def _bwd_kernel(
             blk, phi_ref[:], t, skip, lim, chunk, grid_x
         )
         t_run = t_run_sc[:]
-        dead = dead_sc[:]
 
         g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
         g_depth = gdep_sc[:]
@@ -571,7 +582,7 @@ def _bwd_kernel(
 
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, dead, scan_impl, chunk, tri=tri
+            alpha, t_run, scan_impl, chunk, tri=tri
         )
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -661,9 +672,7 @@ def _bwd_kernel(
         ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
 
         t_run_sc[:] = new_t_run
-        new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
-        dead_sc[:] = new_dead
-        alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
+        alive_sc[0] = (jnp.max(new_t_run) > 0.0).astype(jnp.int32)
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
 
 
@@ -677,7 +686,6 @@ def _fisher_kernel(
     resaux_ref,  # (1, 8, NPIX) forward aux
     fish_ref,  # (FROWS, chunk) out: 15 moments + sum dop^2 + key row
     t_run_sc,
-    dead_sc,
     accwgc_sc,
     alive_sc,
     gtot_sc,  # (NPIX, 1) per-tile constant: sum_f rescolor * gcolor
@@ -704,7 +712,6 @@ def _fisher_kernel(
     @pl.when(first == 1)
     def _():
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        dead_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
         gtot_sc[:] = jax.lax.dot_general(
@@ -732,14 +739,13 @@ def _fisher_kernel(
             blk, px, py, skip, lim, chunk
         )
         t_run = t_run_sc[:]
-        dead = dead_sc[:]
 
         g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
         gtot = gtot_sc[:]
 
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, dead, "mxu", chunk, tri=tri
+            alpha, t_run, "mxu", chunk, tri=tri
         )
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -785,15 +791,13 @@ def _fisher_kernel(
         )
 
         t_run_sc[:] = new_t_run
-        new_dead = jnp.maximum(dead, (t_cum[:, -1:] < T_STOP).astype(jnp.float32))
-        dead_sc[:] = new_dead
-        alive_sc[0] = (jnp.sum(new_dead) < NPIX).astype(jnp.int32)
+        alive_sc[0] = (jnp.max(new_t_run) > 0.0).astype(jnp.int32)
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
 
 
 def _common_scratch():
+    # t_run (sign = death), one per-kernel (NPIX, 1) accumulator, alive flag
     return [
-        pltpu.VMEM((NPIX, 1), jnp.float32),
         pltpu.VMEM((NPIX, 1), jnp.float32),
         pltpu.VMEM((NPIX, 1), jnp.float32),
         pltpu.SMEM((1,), jnp.int32),
