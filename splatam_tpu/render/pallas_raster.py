@@ -517,8 +517,7 @@ def _bwd_kernel(
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
     alive_sc,
     gdep_sc,  # (NPIX, 1) per-tile constant: dL/d median depth column
-    gtt_sc,  # (NPIX, 1) per-tile constant: dL/d final T * final T
-    gtot_sc,  # (NPIX, 1) per-tile constant: sum_f rescolor * gcolor
+    ga_sc,  # (NPIX, 1) per-tile constant: sum_f rescolor*gcolor + gT*T_final
     *,
     grid_x: int,
     chunk: int,
@@ -549,14 +548,18 @@ def _bwd_kernel(
             )  # (NPIX, 1)
 
         gdep_sc[:] = _col(gaux_ref[0], 0)
-        gtt_sc[:] = _col(gaux_ref[0], 1) * _col(resaux_ref[0], 1)
-        gtot_sc[:] = jax.lax.dot_general(
-            rescolor_ref[0] * gcolor_ref[0],
-            jnp.ones((NFEAT_PAD, 1), jnp.float32),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (NPIX, 1) = per-pixel sum over channels
+        # gtot (per-pixel channel sum of rescolor*gcolor) and gtt (final-T
+        # gradient term) only ever appear as gtot + gtt - prefix in dalpha,
+        # so they are folded into ONE per-tile constant
+        ga_sc[:] = _col(gaux_ref[0], 1) * _col(resaux_ref[0], 1) + (
+            jax.lax.dot_general(
+                rescolor_ref[0] * gcolor_ref[0],
+                jnp.ones((NFEAT_PAD, 1), jnp.float32),
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        )
 
     run = (lim > skip) & (alive_sc[0] == 1)
 
@@ -577,8 +580,7 @@ def _bwd_kernel(
 
         g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
         g_depth = gdep_sc[:]
-        gtt = gtt_sc[:]
-        gtot = gtot_sc[:]
+        ga = ga_sc[:]
 
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
@@ -596,12 +598,11 @@ def _bwd_kernel(
         # suffix sums: S[p, j] = sum over every instance after j of w * gc
         wgc = w * gc
         prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri)
-        suffix = gtot - prefix
 
-        one_minus = jnp.maximum(1.0 - alpha, 1e-12)
+        # 1 - alpha >= 1 - ALPHA_CAP = 0.01 by the cap: no epsilon guard
         dalpha = jnp.where(
             live,
-            t_before * gc - (suffix + gtt) / one_minus,
+            t_before * gc - (ga - prefix) / (1.0 - alpha),
             0.0,
         )
         # clamp gates: d alpha/d raw = 1 only below the 0.99 cap; `keep`
@@ -759,8 +760,9 @@ def _fisher_kernel(
         prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri)
         suffix = gtot - prefix
 
-        one_minus = jnp.maximum(1.0 - alpha, 1e-12)
-        dalpha = jnp.where(live, t_before * gc - suffix / one_minus, 0.0)
+        dalpha = jnp.where(
+            live, t_before * gc - suffix / (1.0 - alpha), 0.0
+        )
         unclamped = keep & (raw < ALPHA_CAP)
         dop = jnp.where(unclamped, dalpha * epow, 0.0)
         dpower = jnp.where(unclamped & grad_ok, dalpha * alpha, 0.0)
@@ -866,7 +868,7 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu"):
             ],
             out_specs=[_out_chunk_spec(ROWS, chunk)],
             scratch_shapes=_common_scratch()
-            + [pltpu.VMEM((NPIX, 1), jnp.float32)] * 3,
+            + [pltpu.VMEM((NPIX, 1), jnp.float32)] * 2,
         ),
         out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
         interpret=interpret,
