@@ -395,3 +395,44 @@ def test_tile_space_slam_loss_matches_oracle(tracking, use_sil, ignore_outlier):
     np.testing.assert_allclose(
         np.asarray(out_p.silhouette), np.asarray(out_j.silhouette), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("scan_impl", ["mxu", "roll"])
+def test_pallas_chunk256_matches_jnp(scan_impl):
+    """chunk=256 windows (the c256 bench token): fwd + grads match the
+    oracle for both scan implementations."""
+    rng = np.random.default_rng(11)
+    means, colors, opacities, scales, quats, cam = make_scene(
+        rng, n=90, w=64, h=48
+    )
+    args = [
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats),
+    ]
+    cfg_jnp = RasterConfig(
+        max_instances=8192, max_per_tile=512, chunk=256, backend="jnp"
+    )
+    cfg_pal = RasterConfig(
+        max_instances=8192, max_per_tile=512, chunk=256, backend="pallas",
+        scan_impl=scan_impl,
+    )
+    ref, _ = rasterize_tiled(*args, cam, cfg=cfg_jnp)
+    out, aux = rasterize_tiled(*args, cam, cfg=cfg_pal)
+    assert not bool(aux.overflow)
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.asarray(ref.color), atol=2e-5, rtol=1e-4
+    )
+
+    def loss(cfg):
+        def f(m, c, o, s, q):
+            o_, _ = rasterize_tiled(m, c, o, s, q, cam, cfg=cfg)
+            return jnp.sum(o_.color) + jnp.sum(o_.final_t)
+        return f
+
+    g_ref = jax.grad(loss(cfg_jnp), argnums=(0, 2))(*args)
+    g_pal = jax.grad(loss(cfg_pal), argnums=(0, 2))(*args)
+    for a, b in zip(g_pal, g_ref):
+        scale = np.max(np.abs(np.asarray(b))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+        )
