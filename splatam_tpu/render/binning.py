@@ -395,8 +395,10 @@ def _expand_instances(
     # via cumsum over the (gid-major contiguous) pre-sort slot order
     dcum = jnp.cumsum((dropped & in_use).astype(jnp.int32))
     seg_end = jnp.take(dcum, jnp.clip(offsets - 1, 0, k - 1))
+    # contiguous groups: starts[g] == offsets[g-1], so the start boundary
+    # is seg_end shifted — one N-sized gather instead of two
     seg_start = jnp.where(
-        starts > 0, jnp.take(dcum, jnp.clip(starts - 1, 0, k - 1)), 0
+        starts > 0, jnp.pad(seg_end, (1, 0))[:-1], 0
     )
     kept_hist = jnp.where(
         tiles_touched > 0, tiles_touched - (seg_end - seg_start), 0

@@ -109,15 +109,19 @@ def _cumprod_roll(one_minus: jax.Array, chunk: int):
     return x, excl
 
 
-def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None):
+def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None, terms=3):
     """Per-chunk transmittance state shared by the fwd/bwd kernels.
 
     Returns (t_before, t_cum, live, new_t_run). 'mxu' evaluates the
-    cumulative product in log space on the MXU (bf16x3 split cumsum, one
-    exp per pair); 'roll' evaluates it directly with lane-roll doubling
-    (see _cumprod_roll) and recovers the live-masked carry as the minimum
-    live t_cum (t_cum is monotone along the chunk, so the product of live
-    factors equals the last live t_cum).
+    cumulative product in log space on the MXU (bf16-split cumsum with
+    ``terms`` mantissa terms — 3 for forward-output accuracy, 2 in the
+    backward where only gradients flow; one exp per pair); 'roll' evaluates
+    it directly with lane-roll doubling (see _cumprod_roll). BOTH recover
+    the live-masked carry as the minimum live t_cum: t_cum is monotone
+    non-increasing along the chunk and every carried value stays >= T_STOP
+    by the carry invariant, so min(live ? t_cum : t_run) IS the product of
+    live factors — one select + lane-min instead of the where/sum/exp chain
+    (a transcendental per pair saved on the mxu path).
 
     The carry encodes pixel DEATH in its sign: alive pixels carry the
     live-masked transmittance (>= T_STOP by the carry invariant); once the
@@ -134,31 +138,30 @@ def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None):
         _, excl = _cumprod_roll(one_minus, chunk)
         t_before = t_run * excl
         t_cum = t_before * one_minus
-        live = t_cum >= T_STOP
-        m = jnp.min(jnp.where(live, t_cum, t_run), axis=1, keepdims=True)
     else:
         log1m = jnp.log1p(-alpha)
-        incl = _cumsum_mxu(log1m, tri)
+        incl = _cumsum_mxu(log1m, tri, terms)
         t_before = t_run * jnp.exp(incl - log1m)
         t_cum = t_before * (1.0 - alpha)
-        live = t_cum >= T_STOP
-        m = t_run * jnp.exp(
-            jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
-        )
+    live = t_cum >= T_STOP
+    m = jnp.min(jnp.where(live, t_cum, t_run), axis=1, keepdims=True)
     new_t_run = jnp.where(t_cum[:, -1:] < T_STOP, -jnp.abs(m), m)
     return t_before, t_cum, live, new_t_run
 
 
-def _cumsum_mxu(x: jax.Array, tri: jax.Array) -> jax.Array:
+def _cumsum_mxu(x: jax.Array, tri: jax.Array, terms: int = 3) -> jax.Array:
     """Inclusive cumsum along axis -1 via triangular matmul (MXU).
 
-    The operand is split into three bf16 terms (~24 mantissa bits, i.e. f32
-    accuracy) and multiplied against the EXACT 0/1 triangular matrix with
-    f32 accumulation — 3 MXU passes where precision=HIGHEST would burn 6
-    (Mosaic does not support the 3-pass HIGH setting). DEFAULT (1-pass
-    bf16) is NOT enough: ~8 mantissa bits => ~1% transmittance error.
-    Verified by tools/tpu_parity_check.py against the sequential-cumprod
-    jnp oracle on the real chip.
+    The operand is split into ``terms`` bf16 mantissa terms (3 => ~24 bits,
+    i.e. f32 accuracy) and multiplied against the EXACT 0/1 triangular
+    matrix with f32 accumulation — 3 MXU passes where precision=HIGHEST
+    would burn 6 (Mosaic does not support the 3-pass HIGH setting).
+    DEFAULT (1-pass bf16) is NOT enough: ~8 mantissa bits => ~1%
+    transmittance error. The backward kernel uses terms=2 (~16 bits,
+    ~1e-5 relative) — only gradients flow through it, and pallas-vs-jnp
+    gradient parity is pinned at 5e-5 of scale. Verified by
+    tools/tpu_parity_check.py against the sequential-cumprod jnp oracle
+    on the real chip.
     """
 
     def term(t):
@@ -171,6 +174,8 @@ def _cumsum_mxu(x: jax.Array, tri: jax.Array) -> jax.Array:
     x1 = x.astype(jnp.bfloat16)
     r1 = x - x1.astype(jnp.float32)
     x2 = r1.astype(jnp.bfloat16)
+    if terms == 2:
+        return term(x1) + term(x2)
     x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
     return (term(x1) + term(x2)) + term(x3)
 
@@ -293,9 +298,10 @@ def _chunk_alpha_mxu(blk, phi27, t, skip, lim, chunk, grid_x):
     MXU — the TPU answer to the CUDA kernel's per-thread FMA chain
     (`forward.cu:336-341`).
 
-    Returns (alpha, raw, epow, xl, yl, keep) — xl/yl are the per-instance
-    (1, chunk) tile-local mean offsets the backward's moment recombination
-    uses in place of per-pair dx/dy.
+    Returns (alpha, raw, epow, op_m, xl, yl, keep, grad_ok) — xl/yl are the
+    per-instance (1, chunk) tile-local mean offsets the backward's moment
+    recombination uses in place of per-pair dx/dy; op_m is the window-masked
+    opacity row (the backward rebuilds dpower = dop * op_m from it).
     """
     x = blk[ROW_X : ROW_X + 1, :]
     y = blk[ROW_Y : ROW_Y + 1, :]
@@ -347,7 +353,7 @@ def _chunk_alpha_mxu(blk, phi27, t, skip, lim, chunk, grid_x):
     # positions where the clamp engaged get no position/conic gradient
     # (mirrors XLA-AD of jnp.minimum(power, 0))
     grad_ok = power_raw <= 0.0
-    return alpha, raw, epow, xl, yl, keep, grad_ok
+    return alpha, raw, epow, op_m, xl, yl, keep, grad_ok
 
 
 def _chunk_alpha(blk, px, py, skip, lim, chunk):
@@ -427,6 +433,7 @@ def _fwd_kernel(
     grid_x: int,
     chunk: int,
     scan_impl: str = "mxu",
+    need_depth: bool = True,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -445,7 +452,7 @@ def _fwd_kernel(
     @pl.when((lim > skip) & (alive_sc[0] == 1))
     def _():
         blk = inst_ref[:]
-        alpha, _, _, _, _, _, _ = _chunk_alpha_mxu(
+        alpha, _, _, _, _, _, _, _ = _chunk_alpha_mxu(
             blk, phi_ref[:], t, skip, lim, chunk, grid_x
         )
         t_run = t_run_sc[:]
@@ -464,9 +471,15 @@ def _fwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
-        crossing = (t_before > 0.5) & (t_cum < 0.5) & live
-        depth_sc[:] += jnp.sum(jnp.where(crossing, dep, 0.0), axis=1, keepdims=True)
+        if need_depth:
+            # T-crossing-0.5 median depth: ~5 per-pair VPU ops, skipped when
+            # the caller's loss provably never reads aux row 0 (the SLAM
+            # losses use the BLENDED depth channel — carry_depth=False)
+            dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            depth_sc[:] += jnp.sum(
+                jnp.where(crossing, dep, 0.0), axis=1, keepdims=True
+            )
         t_run_sc[:] = new_t_run
         alive_sc[0] = (jnp.max(new_t_run) > 0.0).astype(jnp.int32)
         # stream is depth-sorted, so the max valid depth of the latest chunk
@@ -522,6 +535,7 @@ def _bwd_kernel(
     grid_x: int,
     chunk: int,
     scan_impl: str = "mxu",
+    need_depth: bool = True,
 ):
     c = pl.program_id(0)
     t, first, skip, lim = _meta(meta_ref, lim_ref, c)
@@ -547,7 +561,8 @@ def _bwd_kernel(
                 preferred_element_type=jnp.float32,
             )  # (NPIX, 1)
 
-        gdep_sc[:] = _col(gaux_ref[0], 0)
+        if need_depth:
+            gdep_sc[:] = _col(gaux_ref[0], 0)
         # gtot (per-pixel channel sum of rescolor*gcolor) and gtt (final-T
         # gradient term) only ever appear as gtot + gtt - prefix in dalpha,
         # so they are folded into ONE per-tile constant
@@ -573,18 +588,20 @@ def _bwd_kernel(
     @pl.when(run)
     def _():
         blk = inst_ref[:]
-        alpha, raw, epow, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
+        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
             blk, phi_ref[:], t, skip, lim, chunk, grid_x
         )
         t_run = t_run_sc[:]
 
         g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
-        g_depth = gdep_sc[:]
         ga = ga_sc[:]
 
+        # terms=2 on both gradient-side cumsums: only gradients flow
+        # through the backward, and 16 mantissa bits sit well inside the
+        # pinned 5e-5-of-scale pallas-vs-jnp gradient parity
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, scan_impl, chunk, tri=tri
+            alpha, t_run, scan_impl, chunk, tri=tri, terms=2
         )
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -597,7 +614,7 @@ def _bwd_kernel(
         )
         # suffix sums: S[p, j] = sum over every instance after j of w * gc
         wgc = w * gc
-        prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri)
+        prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri, terms=2)
 
         # 1 - alpha >= 1 - ALPHA_CAP = 0.01 by the cap: no epsilon guard
         dalpha = jnp.where(
@@ -607,11 +624,13 @@ def _bwd_kernel(
         )
         # clamp gates: d alpha/d raw = 1 only below the 0.99 cap; `keep`
         # excludes masked contributors entirely; grad_ok gates the power
-        # clamp (no position/conic gradient where power was clamped to 0)
+        # clamp (no position/conic gradient where power was clamped to 0).
+        # dpower = dalpha * alpha on the unclamped & grad_ok set, rebuilt
+        # from dop_int (= dalpha * epow there) times the opacity row —
+        # one select cheaper than gating dalpha * alpha separately.
         unclamped = keep & (raw < ALPHA_CAP)
         dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
-        dpower = jnp.where(unclamped & grad_ok, dalpha * alpha, 0.0)
-        crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+        dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
 
         # The five position/conic gradient rows are pixel sums of
         # dpower * poly(pxl, pyl), so ONE moment matmul against the
@@ -648,6 +667,16 @@ def _bwd_kernel(
         sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
         sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
 
+        if need_depth:
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            gdep_row = jnp.sum(
+                jnp.where(crossing, gdep_sc[:], 0.0), axis=0, keepdims=True
+            )
+        else:
+            # carry_depth=False: the loss has a structurally zero median-
+            # depth cotangent, so the crossing math (~5 per-pair VPU ops)
+            # is skipped outright
+            gdep_row = jnp.zeros((1, chunk), jnp.float32)
         # rows in instance-stream order: X, Y, CA, CB, CC, OP, DEPTH, KEY
         grows = jnp.concatenate(
             [
@@ -657,9 +686,7 @@ def _bwd_kernel(
                 -sdxy,
                 -0.5 * sdyy,
                 jnp.sum(dop_int, axis=0, keepdims=True),
-                jnp.sum(
-                    jnp.where(crossing, g_depth, 0.0), axis=0, keepdims=True
-                ),
+                gdep_row,
                 _row_key(blk, skip, lim, chunk),
             ],
             axis=0,
@@ -824,10 +851,12 @@ def _out_chunk_spec(rows, chunk):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu"):
+def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu",
+                   need_depth=True):
     return pl.pallas_call(
         functools.partial(
-            _fwd_kernel, grid_x=grid_x, chunk=chunk, scan_impl=scan_impl
+            _fwd_kernel, grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
+            need_depth=need_depth,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -849,10 +878,12 @@ def _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu"):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu"):
+def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu",
+                   need_depth=True):
     return pl.pallas_call(
         functools.partial(
-            _bwd_kernel, grid_x=grid_x, chunk=chunk, scan_impl=scan_impl
+            _bwd_kernel, grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
+            need_depth=need_depth,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -948,9 +979,12 @@ def segment_reduce_by_key(
     ends = jnp.cumsum(hist)
     starts = ends - hist
     seg_end = jnp.take(cs, jnp.clip(ends - 1, 0, None), axis=1)
+    # segments are contiguous, so starts[g] == ends[g-1] by construction
+    # and the start boundary is seg_end SHIFTED — a pad, not a second
+    # M-sized gather (each 2M-element take costs ~1.3 ms at SLAM scale)
     seg_start = jnp.where(
         (starts > 0)[None, :],
-        jnp.take(cs, jnp.clip(starts - 1, 0, None), axis=1),
+        jnp.pad(seg_end, ((0, 0), (1, 0)))[:, :-1],
         0.0,
     )
     seg = jnp.where((hist > 0)[None, :], seg_end - seg_start, 0.0)
@@ -996,9 +1030,11 @@ def segment_reduce_by_perm(
     ends = slot_off
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), slot_off[:-1]])
     seg_end = jnp.take(cs, jnp.clip(ends - 1, 0, None), axis=1)  # (V, N)
+    # contiguous segments: starts[g] == ends[g-1], so the start boundary is
+    # seg_end shifted right by one — no second N-sized gather
     seg_start = jnp.where(
         (starts > 0)[None, :],
-        jnp.take(cs, jnp.clip(starts - 1, 0, None), axis=1),
+        jnp.pad(seg_end, ((0, 0), (1, 0)))[:, :-1],
         0.0,
     )
     seg = jnp.where((ends > starts)[None, :], seg_end - seg_start, 0.0)
@@ -1043,8 +1079,18 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
     serialized on TPU). ``nfeat`` bounds the feature rows carried through
     the reduction sort (each carried row costs ~0.6 ms at 1.2M instances;
     rows past nfeat are zero by construction)."""
-    fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl)
-    bwd_call = _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl)
+    # carry_depth=False additionally ZEROES the median-depth output (aux
+    # row 0) and skips its per-pair crossing math in BOTH kernels — legal
+    # because the same contract that lets the gradient row drop (the loss
+    # never reads median depth) covers the primal too
+    fwd_call = _make_fwd_call(
+        nc, num_tiles, grid_x, chunk, interpret, scan_impl,
+        need_depth=carry_depth,
+    )
+    bwd_call = _make_bwd_call(
+        nc, num_tiles, grid_x, chunk, interpret, scan_impl,
+        need_depth=carry_depth,
+    )
     # carry_depth=False drops the median-depth gradient row from the
     # reduction (callers whose loss provably has a zero median-depth
     # cotangent — the SLAM losses use the BLENDED depth channel); each

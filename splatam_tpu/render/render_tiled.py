@@ -301,7 +301,10 @@ def rasterize_tiled_blocks(
     ``grad_feats`` / ``carry_depth_grad`` narrow the gradient rows carried
     through the instance->gaussian reduction — legal ONLY when the caller's
     loss provably has zero cotangents for the dropped channels (see
-    rasterize_tiles_pallas).
+    rasterize_tiles_pallas). ``carry_depth_grad=False`` additionally ZEROES
+    the median-depth primal (res.aux row 0) and skips its per-pair math in
+    the kernels — callers under that flag must not read aux row 0 (the SLAM
+    losses use the blended depth channel and aux rows 1/2 only).
 
     Returns (res: PallasRasterOut, aux: RenderAux, proj). The custom-vjp
     boundary sits at the blocks, so a loss computed in tile layout
