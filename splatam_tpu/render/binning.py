@@ -77,6 +77,17 @@ class RasterConfig:
     # mesh (jax.sharding.use_mesh) with this axis; GSPMD partitions the
     # compositing scan over tiles and all-reduces parameter grads over ICI.
     shard_axis: str | None = None
+    # Stream layout for the Pallas kernels:
+    #   'aligned' — each tile's segment is covered by chunk-ALIGNED windows
+    #               of the sorted stream (skip-masked foreign head rows);
+    #               wastes ~avg chunk/2 masked slots per tile.
+    #   'packed'  — tile segments packed back-to-back with at most ONE
+    #               segment boundary per chunk (bin_gaussians_packed): big
+    #               tiles (count >= chunk) run contiguously, small tiles get
+    #               one chunk each. ~25% fewer grid steps on SplaTAM scenes;
+    #               the kernels composite two tiles per boundary chunk with
+    #               a segmented MXU transmittance scan + scratch handoff.
+    layout: str = "aligned"
 
     @property
     def num_chunks(self) -> int:
@@ -270,11 +281,18 @@ def _expand_instances(
     costs ~300ms at this size.
 
     Unlike the reference (rect-only binning), each expanded (gaussian, tile)
-    instance is also tested against an exact upper bound on the alpha the
-    gaussian can reach anywhere in the tile:
+    instance is also tested against the EXACT maximum alpha the gaussian can
+    reach anywhere in the tile:
 
         alpha(p) = op * exp(-q(p)),  q(p) = 0.5 d^T C d
-                 <= op * exp(-0.5 * lam_min(C) * dist(mean, tile-box)^2)
+        max over tile = op * exp(-min_{d in box} q(d))
+
+    where the box minimum of the PD quadratic is closed-form: 0 if the mean
+    lies inside the tile's pixel-center box, else the minimum over the four
+    clamped edge restrictions (each a 1-D quadratic). This is strictly
+    tighter than the lam_min(C) * dist^2 Euclidean bound it replaced —
+    anisotropic conics (every perspective-projected gaussian) decay much
+    faster across their minor axis than lam_min admits.
 
     Instances whose bound falls below the kernels' ALPHA_MIN keep-threshold
     contribute exactly zero in both the jnp and Pallas paths, so dropping
@@ -314,41 +332,42 @@ def _expand_instances(
     in_use = slot < total
     gid_safe = jnp.clip(jnp.cumsum(ind) - 1, 0, n - 1)
 
-    # Per-gaussian squared-distance cull threshold: drop an instance when
-    # dist(mean2d, tile pixel-center box)^2 > thr2. lam_min is the smallest
-    # eigenvalue of the conic (PD by the preprocess low-pass filter).
+    # Per-gaussian cull headroom (in power units): an instance is dropped
+    # when min_box q > headroom, i.e. op * exp(-q_min) < ALPHA_MIN (with
+    # CULL_EPS backoff for the kernels' differently-fused arithmetic).
     from splatam_tpu.render.geometry import ALPHA_MIN
 
     ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
-    lam_min = jnp.maximum(
-        0.5 * (ca + cc) - jnp.sqrt(jnp.square(0.5 * (ca - cc)) + cb * cb),
-        1e-12,
-    )
     if opacities is None:
-        log_op = jnp.zeros_like(lam_min)
+        log_op = jnp.zeros_like(ca)
     else:
         op = jax.lax.stop_gradient(opacities).reshape(-1)
         log_op = jnp.log(jnp.maximum(op, 1e-30))
     headroom = log_op - jnp.log(ALPHA_MIN) + CULL_EPS
-    thr2 = jnp.where(headroom > 0.0, 2.0 * headroom / lam_min, -1.0)
 
     # One ROW gather instead of repeated column gathers: TPU gathers whole
     # rows ~30x faster than per-column at this size. Depth and the f32 cull
     # fields ride along bitcast to int32 (IEEE order irrelevant: bitcast
     # back before use; f32 depth order-preserving for z > 0).
+    def _f(v):
+        return jax.lax.bitcast_convert_type(v, jnp.int32)
+
     gtable = jnp.stack(
         [
             starts,
             proj.rect_min[:, 0],
             proj.rect_min[:, 1],
             jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
-            jax.lax.bitcast_convert_type(proj.depths, jnp.int32),
-            jax.lax.bitcast_convert_type(proj.means2d[:, 0], jnp.int32),
-            jax.lax.bitcast_convert_type(proj.means2d[:, 1], jnp.int32),
-            jax.lax.bitcast_convert_type(thr2, jnp.int32),
+            _f(proj.depths),
+            _f(proj.means2d[:, 0]),
+            _f(proj.means2d[:, 1]),
+            _f(headroom),
+            _f(ca),
+            _f(cb),
+            _f(cc),
         ],
         axis=-1,
-    )  # (N, 8) int32
+    )  # (N, 11) int32
     # barriers keep the cull/rect arithmetic OUT of the gather fusion: XLA
     # fuses the consumers into the gather and lands it in S(1) scalar space
     # (~4 ms measured vs ~1.6 ms for the bare row gather — see CLAUDE.md on
@@ -360,15 +379,39 @@ def _expand_instances(
     ty = grow[:, 2] + local // rect_w_safe
     tx = grow[:, 1] + local % rect_w_safe
 
-    # distance from the mean to the tile's pixel-center box [t*16, t*16+15]
-    mx = jax.lax.bitcast_convert_type(grow[:, 5], jnp.float32)
-    my = jax.lax.bitcast_convert_type(grow[:, 6], jnp.float32)
-    gthr2 = jax.lax.bitcast_convert_type(grow[:, 7], jnp.float32)
+    # exact min of q(d) = 0.5 ca dx^2 + cb dx dy + 0.5 cc dy^2 over the
+    # tile's pixel-center box d in [x_lo - mx, x_lo + 15 - mx] x (same in y):
+    # 0 if the mean is inside, else the least of the four edge restrictions,
+    # each a 1-D quadratic minimized at its clamped stationary point
+    def _g(col):
+        return jax.lax.bitcast_convert_type(grow[:, col], jnp.float32)
+
+    mx, my = _g(5), _g(6)
+    ghead, gca, gcb, gcc = _g(7), _g(8), _g(9), _g(10)
     x_lo = (tx * TILE).astype(jnp.float32)
     y_lo = (ty * TILE).astype(jnp.float32)
-    dx = jnp.clip(mx, x_lo, x_lo + (TILE - 1)) - mx
-    dy = jnp.clip(my, y_lo, y_lo + (TILE - 1)) - my
-    dropped = dx * dx + dy * dy > gthr2
+    dxlo, dxhi = x_lo - mx, x_lo + (TILE - 1) - mx
+    dylo, dyhi = y_lo - my, y_lo + (TILE - 1) - my
+
+    def _q(dx, dy):
+        return 0.5 * (gca * dx * dx + gcc * dy * dy) + gcb * dx * dy
+
+    def _edge_x(x):  # dx fixed at x, dy free in [dylo, dyhi]
+        return _q(x, jnp.clip(-gcb * x / gcc, dylo, dyhi))
+
+    def _edge_y(y):  # dy fixed at y, dx free in [dxlo, dxhi]
+        return _q(jnp.clip(-gcb * y / gca, dxlo, dxhi), y)
+
+    inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
+    q_min = jnp.where(
+        inside,
+        0.0,
+        jnp.minimum(
+            jnp.minimum(_edge_x(dxlo), _edge_x(dxhi)),
+            jnp.minimum(_edge_y(dylo), _edge_y(dyhi)),
+        ),
+    )
+    dropped = q_min > ghead
     if depth_cap is not None:
         tid0 = jnp.clip(ty * grid_x + tx, 0, num_tiles - 1)
         cap = jnp.take(depth_cap, jax.lax.optimization_barrier(tid0))
@@ -426,6 +469,219 @@ def _expand_instances(
     return (
         sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,
         total_kept, kept_hist, offsets,
+    )
+
+
+class BinnedPacked(NamedTuple):
+    """Depth-sorted instance stream PACKED back-to-back (layout='packed').
+
+    Tile segments are laid out contiguously with at most ONE segment
+    boundary per chunk, so the Pallas grid is ~the K/chunk floor instead of
+    per-tile aligned windows (~25% fewer grid steps on SplaTAM scenes):
+
+      * big tiles (count >= chunk) run back-to-back — a tile starting
+        mid-chunk always spills past the chunk end, so each chunk holds one
+        tile's tail + at most one tile's head;
+      * small tiles (0 < count < chunk) each occupy one chunk (rows
+        [0, count), pad tail) — isolating them preserves the one-boundary
+        invariant for ANY tile mix;
+      * empty tiles get one zero-lim chunk at the end (output init, same as
+        the aligned layout).
+
+    The kernels composite the two tiles of a boundary chunk with a
+    segmented MXU transmittance scan and hand the head tile's partial state
+    (color / T / suffix accumulators) to its first owned chunk through VMEM
+    scratch (pallas_raster.py packed kernels).
+    """
+
+    padded_gid: jax.Array  # (Ks,) int32 gaussian id per packed stream slot
+    # (pad slots hold an arbitrary id; kernels mask rows >= lim)
+    chunk_meta: jax.Array  # (NC,) int32 packed: stile << 1 | first
+    chunk_btile: jax.Array  # (NC,) int32 tile of rows [send, lim)
+    chunk_lim: jax.Array  # (NC,) int32 packed: send << 16 | lim; rows
+    # [0, min(send, lim)) belong to stile, [send, lim) to btile
+    chunk_blk: jax.Array  # (NC,) int32 stream block index per chunk
+    counts: jax.Array  # (T,) int32 instances per tile
+    gid_hist: jax.Array  # (N,) int32 surviving instances per gaussian
+    num_instances: jax.Array  # () int32 total instances emitted
+    padded_total: jax.Array  # () int32 used chunks * chunk
+    overflow: jax.Array  # () bool
+    slot_pos: jax.Array | None = None  # (K,) int32 (reduction='perm')
+    slot_off: jax.Array | None = None  # (N,) int32
+
+
+def bin_gaussians_packed(
+    proj: Projected,
+    cam: Camera,
+    cfg: RasterConfig,
+    opacities: jax.Array | None = None,
+    depth_cap: jax.Array | None = None,
+) -> BinnedPacked:
+    """Packed-stream binning (see BinnedPacked).
+
+    Same expansion/cull/sort as the aligned layout; only the stream
+    placement differs. The placement is fully vectorized (no sequential
+    scan): tiles are ordered bigs -> smalls -> empties with current counts,
+    so the one-boundary-per-chunk invariant holds by construction.
+    """
+    chunk = cfg.chunk
+    (
+        sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,
+        total_kept, kept_hist, slot_off,
+    ) = _expand_instances(
+        proj, cam, cfg, opacities, carry_slot=cfg.reduction == "perm",
+        depth_cap=depth_cap, tile_rank=None,
+    )
+    k = cfg.max_instances
+    ks = cfg.max_stream or k
+    nc = cfg.max_chunks or (ks // chunk + num_tiles + 1)
+    t_len = num_tiles
+
+    tq = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tq, side="left").astype(
+        jnp.int32
+    )
+    counts = tile_start[1:] - tile_start[:-1]
+    sort_start = tile_start[:-1]
+
+    # order tiles bigs -> smalls -> empties (raster order within a class)
+    tiles = jnp.arange(t_len, dtype=jnp.int32)
+    cls = jnp.where(counts >= chunk, 0, jnp.where(counts > 0, 1, 2))
+    _, ord_tiles = jax.lax.sort(
+        (cls.astype(jnp.int32), tiles), num_keys=1, is_stable=True
+    )
+    ord_counts = jnp.take(counts, ord_tiles)
+    is_big = ord_counts >= chunk
+    is_small = (ord_counts > 0) & ~is_big
+    nbig = jnp.sum(is_big.astype(jnp.int32))
+    nsmall = jnp.sum(is_small.astype(jnp.int32))
+    nempty = t_len - nbig - nsmall
+
+    big_rows = jnp.where(is_big, ord_counts, 0)
+    big_end = jnp.cumsum(big_rows)
+    b_total = big_end[-1] if t_len else jnp.int32(0)
+    cb = (b_total + chunk - 1) // chunk  # big-region chunks
+    base = cb * chunk
+    ord_idx = jnp.arange(t_len, dtype=jnp.int32)
+    # packed start per ORDERED tile: bigs contiguous from 0, smalls one
+    # chunk each after the (rounded-up) big region, empties at the region
+    # end (zero rows)
+    packed_start_ord = jnp.where(
+        is_big,
+        big_end - big_rows,
+        jnp.where(is_small, base + (ord_idx - nbig) * chunk, base + nsmall * chunk),
+    )
+    kp = base + nsmall * chunk  # real stream rows incl. pads
+    used = cb + nsmall + nempty
+
+    # ---- per-chunk metadata ----------------------------------------------
+    c_idx = jnp.arange(nc, dtype=jnp.int32)
+    in_big = c_idx < cb
+    in_small = (c_idx >= cb) & (c_idx < cb + nsmall)
+    in_empty = (c_idx >= cb + nsmall) & (c_idx < used)
+    # big region: stile = ordered big whose segment covers row0 = c*chunk
+    big_starts_key = jnp.where(is_big, packed_start_ord, jnp.iinfo(jnp.int32).max)
+    bidx = (
+        jnp.searchsorted(big_starts_key, c_idx * chunk, side="right").astype(
+            jnp.int32
+        )
+        - 1
+    )
+    stile_idx = jnp.where(
+        in_big,
+        jnp.clip(bidx, 0, t_len - 1),
+        jnp.where(
+            in_small,
+            nbig + (c_idx - cb),
+            jnp.where(in_empty, nbig + nsmall + (c_idx - cb - nsmall), t_len - 1),
+        ),
+    )
+    stile_idx = jnp.clip(stile_idx, 0, t_len - 1)
+    stile = jnp.take(ord_tiles, stile_idx)
+    st_start = jnp.take(packed_start_ord, stile_idx)
+    st_count = jnp.take(ord_counts, stile_idx)
+    send = jnp.where(
+        in_big,
+        jnp.clip(st_start + st_count - c_idx * chunk, 1, chunk),
+        jnp.where(in_small, st_count, chunk),
+    )
+    lim = jnp.where(
+        in_big,
+        jnp.clip(b_total - c_idx * chunk, 0, chunk),
+        jnp.where(in_small, st_count, 0),
+    )
+    has_b = in_big & (send < lim)
+    btile = jnp.where(
+        has_b, jnp.take(ord_tiles, jnp.clip(stile_idx + 1, 0, t_len - 1)), stile
+    )
+    prev_stile = jnp.concatenate([jnp.full(1, -1, jnp.int32), stile[:-1]])
+    first = ((stile != prev_stile) & (c_idx < used)).astype(jnp.int32)
+    chunk_meta = (stile << 1) | first
+    chunk_lim = (send.astype(jnp.int32) << 16) | lim.astype(jnp.int32)
+    blk = jnp.where(in_big | in_small, jnp.minimum(c_idx, ks // chunk), 0)
+
+    # ---- packed gid stream -----------------------------------------------
+    # tile-of-position via scatter-of-ones + cumsum (jnp.repeat's internal
+    # 1-D gather costs ~6 ms at this size); zero-length groups (empties)
+    # collide on one slot and the cumsum skips them, as in _expand_instances
+    pos = jnp.arange(ks, dtype=jnp.int32)
+    ind = (
+        jnp.zeros(ks, jnp.int32)
+        .at[jnp.where(ord_counts > 0, packed_start_ord, ks)]
+        .add(1, mode="drop")
+    )
+    opos = jnp.clip(jnp.cumsum(ind) - 1, 0, t_len - 1)
+    # row table: [packed_start, count, sort_start] per ordered tile
+    ptable = jnp.stack(
+        [packed_start_ord, ord_counts, jnp.take(sort_start, ord_tiles)],
+        axis=-1,
+    )
+    prow = jnp.take(ptable, jax.lax.optimization_barrier(opos), axis=0)
+    prow = jax.lax.optimization_barrier(prow)
+    local = pos - prow[:, 0]
+    valid = (local >= 0) & (local < prow[:, 1]) & (pos < kp)
+    src = jnp.clip(prow[:, 2] + local, 0, k - 1)
+    padded_gid = jnp.where(
+        valid,
+        jnp.take(sorted_gid, jax.lax.optimization_barrier(src)),
+        0,
+    )
+
+    slot_pos = None
+    if cfg.reduction == "perm":
+        # packed position of each SORTED stream position p — which IS the
+        # backward grid-output column (stream rows and output columns
+        # coincide in the packed layout)
+        p = jnp.arange(k, dtype=jnp.int32)
+        t_safe = jnp.clip(sorted_tile, 0, num_tiles - 1)
+        start_by_tile = (
+            jnp.zeros(t_len, jnp.int32).at[ord_tiles].set(packed_start_ord)
+        )
+        ttable = jnp.stack([start_by_tile, sort_start], axis=-1)
+        trow = ttable[t_safe]
+        ppos = trow[:, 0] + (p - trow[:, 1])
+        outcol = jnp.where(
+            (sorted_tile < num_tiles) & (ppos < kp) & (p < k),
+            jnp.minimum(ppos, nc * chunk),
+            nc * chunk,
+        )
+        _, slot_pos = jax.lax.sort(
+            (sorted_slot, outcol), num_keys=1, is_stable=False
+        )
+
+    return BinnedPacked(
+        padded_gid=padded_gid,
+        chunk_meta=chunk_meta,
+        chunk_btile=btile,
+        chunk_lim=chunk_lim,
+        chunk_blk=blk,
+        counts=counts,
+        gid_hist=kept_hist,
+        num_instances=total_kept,
+        padded_total=used * chunk,
+        overflow=(total > k) | (kp > ks) | (used > nc),
+        slot_pos=slot_pos,
+        slot_off=slot_off if cfg.reduction == "perm" else None,
     )
 
 
