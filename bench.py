@@ -70,6 +70,8 @@ def parse_mode(base, mode: str | None):
             base = dataclasses.replace(base, reduction=tok)
         elif tok in ("mxu", "roll"):
             base = dataclasses.replace(base, scan_impl=tok)
+        elif tok in ("packed", "aligned"):
+            base = dataclasses.replace(base, layout=tok)
         elif tok.startswith("c") and tok[1:].isdigit():
             base = dataclasses.replace(base, chunk=int(tok[1:]))
         elif tok == "notrim":
@@ -120,6 +122,12 @@ def setup(
     base, opts = parse_mode(
         RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128), mode
     )
+
+    def kept(p):
+        # packed streams carry inter-segment pads; max_stream must cover them
+        sr = getattr(p, "stream_rows", None)
+        return int(p.num_instances) if sr is None else int(sr)
+
     cfg0 = sized_config(total, base)
     # probe binning: the tile-alpha cull drops rect-corner instances, so the
     # post-cull stream / chunk-grid capacities (what kernels, gathers and
@@ -128,7 +136,7 @@ def setup(
     cfg1 = sized_config(
         total,
         base,
-        num_kept=int(probe.num_instances),
+        num_kept=kept(probe),
         chunks_used=int(probe.padded_total) // base.chunk,
     )
 
@@ -165,7 +173,7 @@ def setup(
         cfg = sized_config(
             total,
             base,
-            num_kept=int(probe2.num_instances),
+            num_kept=kept(probe2),
             chunks_used=int(probe2.padded_total) // base.chunk,
         )
     else:  # A/B token `notrim`: no saturation caps, untrimmed capacities
@@ -175,7 +183,7 @@ def setup(
         cfg = cfg1
 
     tile_rank = None
-    if opts["align"]:
+    if opts["align"] and base.layout != "packed":
         # Default (A/B token `noalign` disables): chunk-align window
         # boundaries by reordering tile segments (binning.alignment_order)
         # and size the chunk grid to the aligned layout. The rank is fixed
@@ -191,7 +199,7 @@ def setup(
         cfg = sized_config(
             total,
             base,
-            num_kept=int(probe3.num_instances),
+            num_kept=kept(probe3),
             chunks_used=int(probe3.padded_total) // base.chunk,
         )
 

@@ -118,7 +118,15 @@ def render_fisher(
     colors = params["rgb_colors"]
 
     proj = preprocess(pts, scales, rots, cam, active=active)
-    binned = bin_gaussians_csr(proj, cam, cfg, opacities=opac)
+    # the fisher kernel runs on the aligned-window layout regardless of the
+    # caller's production layout (it bins per candidate pose itself, so the
+    # packed layout's step savings don't compound with a frozen rebin here)
+    import dataclasses as _dc
+
+    cfg_fisher = (
+        _dc.replace(cfg, layout="aligned") if cfg.layout != "aligned" else cfg
+    )
+    binned = bin_gaussians_csr(proj, cam, cfg_fisher, opacities=opac)
     attrs = pack_attrs(proj.means2d, proj.conic, opac, proj.depths, colors)
 
     grid_x = (cam.image_width + TILE - 1) // TILE

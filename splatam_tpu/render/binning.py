@@ -506,6 +506,9 @@ class BinnedPacked(NamedTuple):
     num_instances: jax.Array  # () int32 total instances emitted
     padded_total: jax.Array  # () int32 used chunks * chunk
     overflow: jax.Array  # () bool
+    stream_rows: jax.Array = None  # () int32 packed stream rows INCLUDING
+    # inter-segment pads (what max_stream must cover; empty-tile init chunks
+    # excluded — they read no stream rows)
     slot_pos: jax.Array | None = None  # (K,) int32 (reduction='perm')
     slot_off: jax.Array | None = None  # (N,) int32
 
@@ -680,6 +683,7 @@ def bin_gaussians_packed(
         num_instances=total_kept,
         padded_total=used * chunk,
         overflow=(total > k) | (kp > ks) | (used > nc),
+        stream_rows=kp,
         slot_pos=slot_pos,
         slot_off=slot_off if cfg.reduction == "perm" else None,
     )
@@ -702,7 +706,12 @@ def bin_gaussians_csr(
     the window/chunk bookkeeping below then runs in RANK space while
     `chunk_meta` and `counts` keep true tile ids, so the kernels and their
     output index maps are unchanged.
+
+    ``cfg.layout == 'packed'`` dispatches to `bin_gaussians_packed` (the
+    tile order is then internal; ``tile_rank`` is ignored).
     """
+    if cfg.layout == "packed":
+        return bin_gaussians_packed(proj, cam, cfg, opacities, depth_cap)
     chunk = cfg.chunk
     (
         sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,

@@ -241,3 +241,18 @@ def preprocess(
         rect_max=jnp.stack([rx1, ry1], axis=-1),
         tiles_touched=tiles_touched,
     )
+
+
+def mark_visible(
+    means3d: jax.Array,  # (N, 3)
+    cam: Camera,
+) -> jax.Array:
+    """(N,) bool frustum visibility — the `markVisible` public API.
+
+    Parity with `rasterizer_impl.cu:141-153` / the wrapper's `markVisible`
+    (`__init__.py:150-160`): visible iff the view-space depth clears the
+    near-cull threshold (`in_frustum`, `auxiliary.h:154` — this fork checks
+    z > 0.001; the commented-out NDC bound check is dead code there too).
+    """
+    p_view = _mm(means3d, cam.viewmatrix[:3, :3].T) + cam.viewmatrix[:3, 3]
+    return p_view[:, 2] > 0.001

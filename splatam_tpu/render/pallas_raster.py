@@ -118,10 +118,19 @@ def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None, terms=3):
     backward where only gradients flow; one exp per pair); 'roll' evaluates
     it directly with lane-roll doubling (see _cumprod_roll). BOTH recover
     the live-masked carry as the minimum live t_cum: t_cum is monotone
-    non-increasing along the chunk and every carried value stays >= T_STOP
-    by the carry invariant, so min(live ? t_cum : t_run) IS the product of
+    non-increasing along the chunk (exactly for 'roll'; to split-cumsum
+    rounding for 'mxu') and every carried value stays >= T_STOP by the
+    carry invariant, so min(live ? t_cum : t_run) recovers the product of
     live factors — one select + lane-min instead of the where/sum/exp chain
     (a transcendental per pair saved on the mxu path).
+
+    ACCEPTED accuracy floor: the backward recomputes this recursion with
+    terms=2 while the forward used terms=3, so the live/saturation set
+    (t_cum >= T_STOP) can differ between primal and gradient for pairs
+    whose transmittance hovers within ~1e-5 of the threshold — the bwd then
+    differentiates a slightly different function (~1e-3-of-scale gradient
+    noise on hard-saturated scenes, inside the pinned parity tolerances;
+    key rows are emitted unconditionally so segment alignment is safe).
 
     The carry encodes pixel DEATH in its sign: alive pixels carry the
     live-masked transmittance (>= T_STOP by the carry invariant); once the
@@ -139,7 +148,12 @@ def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None, terms=3):
         t_before = t_run * excl
         t_cum = t_before * one_minus
     else:
-        log1m = jnp.log1p(-alpha)
+        # log(1-a), NOT log1p(-a): Mosaic's log1p costs ~80 ns per
+        # (256, 128) block vs ~20 for log (tools/vpu_probe.py), and the
+        # subtraction is safe here — alpha <= 0.99 keeps 1-alpha >= 0.01,
+        # so the pre-log rounding is <= 6e-6 in log space (the pinned
+        # fwd parity tolerance is 1e-4)
+        log1m = jnp.log(1.0 - alpha)
         incl = _cumsum_mxu(log1m, tri, terms)
         t_before = t_run * jnp.exp(incl - log1m)
         t_cum = t_before * (1.0 - alpha)
@@ -390,6 +404,109 @@ def _meta(meta_ref, lim_ref, c):
     return m >> 1, m & 1, sl >> 16, sl & 0xFFFF  # tile, first, skip, lim
 
 
+# ---------------------------------------------------------------------------
+# PACKED layout (binning.BinnedPacked): tile segments back-to-back, at most
+# one segment boundary per chunk. Rows [0, min(send, lim)) belong to the
+# chunk's stile (output-block owner), rows [send, lim) to btile (the next
+# tile's head); the head contribution is handed to btile's first owned chunk
+# through VMEM scratch (pend_*). ~25% fewer grid steps than aligned windows
+# on SplaTAM scenes (no skip-masked foreign rows, no per-tile alignment pad).
+# ---------------------------------------------------------------------------
+
+
+def _seg_mask(send, chunk: int) -> jax.Array:
+    """(chunk, chunk) bf16 SEGMENTED prefix mask: M[k, j] = 1 iff k
+    contributes to column j's segment-local inclusive prefix sum — plain
+    triangular for columns before the boundary, boundary-restarted after.
+    x @ M is a segmented cumsum on the MXU (exact 0/1 operand)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return ((i <= j) & ((j < send) | (i >= send))).astype(jnp.bfloat16)
+
+
+def _chunk_transmittance_packed(alpha, t_run, send, chunk, seg, terms=3):
+    """Segmented per-chunk transmittance (packed layout, mxu scan only).
+
+    Columns before ``send`` continue the stile's recursion from ``t_run``
+    (death in its sign, as in _chunk_transmittance); columns at/after
+    ``send`` start the next tile fresh from 1. Returns per-pair state plus
+    BOTH segment-end carries: stateA (stile's, -> t_run / aux) and stateB
+    (the head tile's, -> pend handoff; 1.0 when the chunk has no boundary
+    or only pad rows after ``send``).
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    cola = col < send
+    log1m = jnp.log(1.0 - alpha)  # not log1p — see _chunk_transmittance
+    incl = _cumsum_mxu(log1m, seg, terms)
+    base = jnp.where(cola, t_run, 1.0)
+    t_before = base * jnp.exp(incl - log1m)
+    t_cum = t_before * (1.0 - alpha)
+    live = t_cum >= T_STOP
+    big = jnp.float32(3.0e38)
+    # stile's carry: min live t_cum over its columns (monotone within the
+    # segment); dead pixels keep the signed pre-crossing t_run
+    m_a = jnp.min(
+        jnp.where(cola, jnp.where(live, t_cum, t_run), big),
+        axis=1, keepdims=True,
+    )
+    ta_end = jnp.min(jnp.where(cola, t_cum, big), axis=1, keepdims=True)
+    state_a = jnp.where(ta_end < T_STOP, -jnp.abs(m_a), m_a)
+    # head tile's carry: fresh base 1.0; pad columns (alpha 0) keep t_cum at
+    # the segment product, so including them is harmless
+    m_b = jnp.min(
+        jnp.where(cola, 1.0, jnp.where(live, t_cum, 1.0)),
+        axis=1, keepdims=True,
+    )
+    tb_end = jnp.min(jnp.where(cola, big, t_cum), axis=1, keepdims=True)
+    state_b = jnp.where(tb_end < T_STOP, -jnp.abs(m_b), m_b)
+    return t_before, t_cum, live, state_a, state_b
+
+
+def _chunk_alpha_packed(blk, phi27, stile, btile, send, lim, chunk, grid_x):
+    """_chunk_alpha_mxu with PER-COLUMN tile origins (packed layout).
+
+    Columns before ``send`` evaluate in stile's tile-local frame, the rest
+    in btile's; valid rows are [0, lim) (packed streams have no skip)."""
+    x = blk[ROW_X : ROW_X + 1, :]
+    y = blk[ROW_Y : ROW_Y + 1, :]
+    ca = blk[ROW_CA : ROW_CA + 1, :]
+    cb = blk[ROW_CB : ROW_CB + 1, :]
+    cc = blk[ROW_CC : ROW_CC + 1, :]
+    op = blk[ROW_OP : ROW_OP + 1, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    cola = col < send
+
+    def _orig(t):
+        ox = ((t % grid_x) * TILE + _HALF).astype(jnp.float32)
+        oy = ((t // grid_x) * TILE + _HALF).astype(jnp.float32)
+        return ox, oy
+
+    axo, ayo = _orig(stile)
+    bxo, byo = _orig(btile)
+    xl = x - jnp.where(cola, axo, bxo)
+    yl = y - jnp.where(cola, ayo, byo)
+    q0 = -0.5 * (ca * xl * xl + cc * yl * yl) - cb * xl * yl
+    q1 = ca * xl + cb * yl
+    q2 = cc * yl + cb * xl
+    qq = jnp.concatenate([-0.5 * ca, -cb, -0.5 * cc], axis=0)
+    q27 = jnp.tile(_split3(qq, axis=0), (3, 1))
+    quad = jax.lax.dot_general(
+        phi27, q27, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    pxl, pyl = _local_pixels()
+    power_raw = (quad + q0) + (q1 * pxl + q2 * pyl)
+    epow = jnp.exp(jnp.minimum(power_raw, 0.0))
+    op_m = jnp.where(col < lim, op, 0.0)
+    raw = op_m * epow
+    alpha = jnp.minimum(ALPHA_CAP, raw)
+    keep = alpha >= ALPHA_MIN
+    alpha = jnp.where(keep, alpha, 0.0)
+    grad_ok = power_raw <= 0.0
+    return alpha, raw, epow, op_m, xl, yl, keep, grad_ok
+
+
 def _is_last(meta_ref, c, nc):
     """1 iff chunk ``c`` is its tile's last: the next chunk starts a new tile
     (its ``first`` bit is set) or there is no next chunk. Lets the kernels
@@ -504,6 +621,155 @@ def _fwd_kernel(
         # (binning.py depth_cap). SAT_INF when the tile never saturated —
         # later instances could still contribute after parameter drift.
         sat = jnp.where(alive_sc[0] == 0, satd_sc[0], SAT_INF)
+        aux_ref[0] = jnp.concatenate(
+            [
+                dt,
+                jnp.full((1, NPIX), sat, jnp.float32),
+                jnp.zeros((5, NPIX), jnp.float32),
+            ],
+            axis=0,
+        )
+
+
+def _fwd_kernel_packed(
+    meta_ref,  # scalar-prefetch (NC,) int32 packed stile<<1|first
+    lim_ref,  # scalar-prefetch (NC,) int32 packed send<<16|lim
+    btile_ref,  # scalar-prefetch (NC,) int32 tile of rows [send, lim)
+    blk_ref,  # scalar-prefetch (NC,) int32 stream block index per chunk
+    inst_ref,  # (ROWS, chunk) VMEM packed stream chunk
+    phi_ref,  # (NPIX, 27) bf16 constant power basis
+    color_ref,  # (1, NFEAT_PAD, NPIX) block of the STILE (channel-major)
+    aux_ref,  # (1, 8, NPIX)
+    t_run_sc,  # (NPIX, 1) stile's running transmittance (sign = death)
+    depth_sc,  # (NPIX, 1) stile's median-depth accumulator
+    pendc_sc,  # (NFEAT_PAD, NPIX) head tile's pending color contribution
+    pendt_sc,  # (NPIX, 1) head tile's pending transmittance carry
+    pendd_sc,  # (NPIX, 1) head tile's pending median-depth accumulator
+    satd_sc,  # (2,) SMEM f32: [0] stile's sat-depth candidate, [1] pend
+    *,
+    grid_x: int,
+    chunk: int,
+    need_depth: bool = True,
+):
+    """Packed-layout forward (see BinnedPacked).
+
+    One grid step = one packed chunk: rows [0, send) continue the stile
+    (output-block owner), rows [send, lim) start the next tile; the head
+    contribution accumulates into pend_* scratch and is consumed by that
+    tile's first owned chunk. Compositing semantics are identical to
+    _fwd_kernel (same reference constants, `forward.cu:261-423`)."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    t, first, send, lim = _meta(meta_ref, lim_ref, c)
+    bt = btile_ref[c]
+
+    @pl.when(c == 0)
+    def _():
+        # pend scratch is consumed by every `first` step (including c == 0,
+        # whose tile has no predecessor): prime it to the empty-head state
+        pendc_sc[:] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
+        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
+        if need_depth:
+            pendd_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+        satd_sc[1] = 0.0
+
+    @pl.when(first == 1)
+    def _():
+        t_run_sc[:] = pendt_sc[:]
+        if need_depth:
+            depth_sc[:] = pendd_sc[:]
+        satd_sc[0] = satd_sc[1]
+
+    t_run = t_run_sc[:]
+    alive = jnp.max(t_run) > 0.0
+    # a chunk that neither continues a live stile nor starts a new tile is
+    # pure dead-tile tail: skip the blend math (the saturation trim makes
+    # these rare; correctness never depends on the skip — dead pixels'
+    # negative carry zeroes their weights anyway)
+    run = (lim > 0) & (alive | (send < lim))
+
+    @pl.when(run)
+    def _():
+        blk = inst_ref[:]
+        alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
+            blk, phi_ref[:], t, bt, send, lim, chunk, grid_x
+        )
+        t_before, t_cum, live, state_a, state_b = (
+            _chunk_transmittance_packed(
+                alpha, t_run, send, chunk, _seg_mask(send, chunk)
+            )
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cola = col < send
+        w = jnp.where(live, alpha * t_before, 0.0)
+        wa = jnp.where(cola, w, 0.0)
+        wb = w - wa
+        feats = blk[ROW_FEAT0:, :]
+        contrib_a = jax.lax.dot_general(
+            feats, wa, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        contrib_b = jax.lax.dot_general(
+            feats, wb, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(first == 1)
+        def _():
+            color_ref[0] = pendc_sc[:] + contrib_a
+
+        @pl.when(first == 0)
+        def _():
+            color_ref[0] += contrib_a
+
+        pendc_sc[:] = contrib_b
+        if need_depth:
+            dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            cdep = jnp.where(crossing, dep, 0.0)
+            depth_sc[:] += jnp.sum(
+                jnp.where(cola, cdep, 0.0), axis=1, keepdims=True
+            )
+            pendd_sc[:] = jnp.sum(
+                jnp.where(cola, 0.0, cdep), axis=1, keepdims=True
+            )
+        t_run_sc[:] = state_a
+        pendt_sc[:] = state_b
+        # saturation-depth candidates: the max valid depth processed this
+        # step, tracked only while the owning tile was still alive at entry
+        valid = col < lim
+        dep_v = jnp.where(valid, blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0)
+        dep_a = jnp.max(jnp.where(cola, dep_v, 0.0))
+        dep_b = jnp.max(jnp.where(cola, 0.0, dep_v))
+        satd_sc[0] = jnp.where(alive & (send > 0), dep_a, satd_sc[0])
+        satd_sc[1] = dep_b
+
+    @pl.when(jnp.logical_not(run))
+    def _():
+        # dead-tail / capacity-tail chunk: the output block may still be on
+        # its first visit (a dead tile's later chunks), so initialize it
+        @pl.when(first == 1)
+        def _():
+            color_ref[0] = pendc_sc[:]
+
+        pendc_sc[:] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
+        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
+        if need_depth:
+            pendd_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+        satd_sc[1] = 0.0
+
+    @pl.when(_is_last(meta_ref, c, nc) == 1)
+    def _():
+        dt = jnp.concatenate(
+            [depth_sc[:] if need_depth else jnp.zeros((NPIX, 1), jnp.float32),
+             jnp.abs(t_run_sc[:])],
+            axis=1,
+        ).T
+        sat = jnp.where(
+            jnp.max(t_run_sc[:]) > 0.0, SAT_INF, satd_sc[0]
+        )
         aux_ref[0] = jnp.concatenate(
             [
                 dt,
@@ -702,6 +968,213 @@ def _bwd_kernel(
         t_run_sc[:] = new_t_run
         alive_sc[0] = (jnp.max(new_t_run) > 0.0).astype(jnp.int32)
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
+
+
+def _bwd_kernel_packed(
+    meta_ref,
+    lim_ref,
+    btile_ref,
+    blk_ref,
+    inst_ref,  # (ROWS, chunk)
+    phi_ref,  # (NPIX, 27) bf16 power basis
+    phim_ref,  # (NPIX, 24) bf16 moment basis
+    gcolor_a_ref,  # (1, NFEAT_PAD, NPIX) upstream grads, STILE's block
+    gaux_a_ref,  # (1, 8, NPIX)
+    rescolor_a_ref,  # (1, NFEAT_PAD, NPIX) forward color, STILE
+    resaux_a_ref,  # (1, 8, NPIX)
+    gcolor_b_ref,  # same four for BTILE (the boundary head's tile)
+    gaux_b_ref,
+    rescolor_b_ref,
+    resaux_b_ref,
+    ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
+    t_run_sc,  # (NPIX, 1)
+    accwgc_sc,  # (NPIX, 1) stile's running prefix of w * gc
+    pendt_sc,  # (NPIX, 1) head tile's pending transmittance carry
+    pendacc_sc,  # (NPIX, 1) head tile's pending w*gc prefix
+    gdep_a_sc,  # (NPIX, 1) per-tile constant: dL/d median depth (stile)
+    ga_a_sc,  # (NPIX, 1) per-tile constant (stile)
+    *,
+    grid_x: int,
+    chunk: int,
+    need_depth: bool = True,
+):
+    """Packed-layout backward: single front-to-back pass, two tiles per
+    boundary chunk (see _bwd_kernel for the math; `backward.cu:850-1224`).
+
+    The btile-side per-pixel constants (ga, gdep) are recomputed from the
+    btile-indexed input blocks on every step (their one-hot matmuls are a
+    few MXU issues); the stile-side ones live in scratch across the tile's
+    chunks as before."""
+    c = pl.program_id(0)
+    t, first, send, lim = _meta(meta_ref, lim_ref, c)
+    bt = btile_ref[c]
+
+    def _col(block8, row):
+        e = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
+        ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            block8, e, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, 1)
+
+    def _ga(gaux, resaux, rescolor, gcolor):
+        return _col(gaux, 1) * _col(resaux, 1) + jax.lax.dot_general(
+            rescolor * gcolor,
+            jnp.ones((NFEAT_PAD, 1), jnp.float32),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(c == 0)
+    def _():
+        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
+        pendacc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+
+    @pl.when(first == 1)
+    def _():
+        t_run_sc[:] = pendt_sc[:]
+        accwgc_sc[:] = pendacc_sc[:]
+        if need_depth:
+            gdep_a_sc[:] = _col(gaux_a_ref[0], 0)
+        ga_a_sc[:] = _ga(
+            gaux_a_ref[0], resaux_a_ref[0], rescolor_a_ref[0],
+            gcolor_a_ref[0],
+        )
+
+    t_run = t_run_sc[:]
+    alive = jnp.max(t_run) > 0.0
+    run = (lim > 0) & (alive | (send < lim))
+
+    @pl.when(jnp.logical_not(run))
+    def _():
+        ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
+        ginst_ref[ROW_GID : ROW_GID + 1, :] = _row_key(
+            inst_ref[:], 0, lim, chunk
+        )
+        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
+        pendacc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+
+    @pl.when(run)
+    def _():
+        blk = inst_ref[:]
+        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
+            blk, phi_ref[:], t, bt, send, lim, chunk, grid_x
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cola = col < send
+
+        seg = _seg_mask(send, chunk)
+        t_before, t_cum, live, state_a, state_b = (
+            _chunk_transmittance_packed(
+                alpha, t_run, send, chunk, seg, terms=2
+            )
+        )
+        w = jnp.where(live, alpha * t_before, 0.0)
+
+        g_color_a = gcolor_a_ref[0]  # (NFEAT_PAD, NPIX)
+        g_color_b = gcolor_b_ref[0]
+        ga_b = _ga(
+            gaux_b_ref[0], resaux_b_ref[0], rescolor_b_ref[0], g_color_b
+        )
+        ga = jnp.where(cola, ga_a_sc[:], ga_b)
+
+        feats = blk[ROW_FEAT0:, :]
+        gc_a = jax.lax.dot_general(
+            g_color_a, feats, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        gc_b = jax.lax.dot_general(
+            g_color_b, feats, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        gc = jnp.where(cola, gc_a, gc_b)
+        wgc = w * gc
+        # segmented prefix; the stile's cross-chunk accumulator applies to
+        # its columns only (the head tile starts fresh at zero)
+        prefix = jnp.where(cola, accwgc_sc[:], 0.0) + _cumsum_mxu(
+            wgc, seg, terms=2
+        )
+
+        dalpha = jnp.where(
+            live,
+            t_before * gc - (ga - prefix) / (1.0 - alpha),
+            0.0,
+        )
+        unclamped = keep & (raw < ALPHA_CAP)
+        dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
+        dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
+
+        mom24 = jax.lax.dot_general(
+            phim_ref[:],
+            _split2(dpower, axis=1),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        mom = (
+            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
+            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
+            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
+        )
+        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
+
+        ca = blk[ROW_CA : ROW_CA + 1, :]
+        cb = blk[ROW_CB : ROW_CB + 1, :]
+        cc = blk[ROW_CC : ROW_CC + 1, :]
+        sdx = xl * s0 - sx
+        sdy = yl * s0 - sy
+        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
+        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
+        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
+
+        if need_depth:
+            gdep_b = _col(gaux_b_ref[0], 0)
+            gdep = jnp.where(cola, gdep_a_sc[:], gdep_b)
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            gdep_row = jnp.sum(
+                jnp.where(crossing, gdep, 0.0), axis=0, keepdims=True
+            )
+        else:
+            gdep_row = jnp.zeros((1, chunk), jnp.float32)
+        grows = jnp.concatenate(
+            [
+                -(ca * sdx + cb * sdy),
+                -(cc * sdy + cb * sdx),
+                -0.5 * sdxx,
+                -sdxy,
+                -0.5 * sdyy,
+                jnp.sum(dop_int, axis=0, keepdims=True),
+                gdep_row,
+                _row_key(blk, 0, lim, chunk),
+            ],
+            axis=0,
+        )
+        wa = jnp.where(cola, w, 0.0)
+        wb = w - wa
+        gfeat = jax.lax.dot_general(
+            g_color_a, wa, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            g_color_b, wb, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
+
+        t_run_sc[:] = state_a
+        pendt_sc[:] = state_b
+        accwgc_sc[:] = accwgc_sc[:] + jnp.sum(
+            jnp.where(cola, wgc, 0.0), axis=1, keepdims=True
+        )
+        pendacc_sc[:] = jnp.sum(
+            jnp.where(cola, 0.0, wgc), axis=1, keepdims=True
+        )
 
 
 def _fisher_kernel(
@@ -904,6 +1377,160 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu",
         out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
         interpret=interpret,
     )
+
+
+def _tile_of4(c, meta, lim, btile, blk):
+    return (meta[c] >> 1, 0, 0)
+
+
+def _btile_of4(c, meta, lim, btile, blk):
+    return (btile[c], 0, 0)
+
+
+def _stream_spec4(chunk):
+    return pl.BlockSpec(
+        (ROWS, chunk), lambda c, meta, lim, btile, blk: (0, blk[c])
+    )
+
+
+def _const_spec4(cols):
+    return pl.BlockSpec(
+        (NPIX, cols), lambda c, meta, lim, btile, blk: (0, 0)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fwd_call_packed(nc, num_tiles, grid_x, chunk, interpret,
+                          need_depth=True):
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_packed, grid_x=grid_x, chunk=chunk,
+            need_depth=need_depth,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nc,),
+            in_specs=[_stream_spec4(chunk), _const_spec4(27)],
+            out_specs=[
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of4),
+                pl.BlockSpec((1, 8, NPIX), _tile_of4),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # t_run
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # depth acc
+                pltpu.VMEM((NFEAT_PAD, NPIX), jnp.float32),  # pend color
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend t_run
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend depth
+                pltpu.SMEM((2,), jnp.float32),  # sat depth (own, pend)
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_bwd_call_packed(nc, num_tiles, grid_x, chunk, interpret,
+                          need_depth=True):
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_packed, grid_x=grid_x, chunk=chunk,
+            need_depth=need_depth,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nc,),
+            in_specs=[
+                _stream_spec4(chunk),
+                _const_spec4(27),
+                _const_spec4(24),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of4),
+                pl.BlockSpec((1, 8, NPIX), _tile_of4),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of4),
+                pl.BlockSpec((1, 8, NPIX), _tile_of4),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _btile_of4),
+                pl.BlockSpec((1, 8, NPIX), _btile_of4),
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _btile_of4),
+                pl.BlockSpec((1, 8, NPIX), _btile_of4),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (ROWS, chunk), lambda c, meta, lim, btile, blk: (0, c)
+                )
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # t_run
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # accwgc
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend t_run
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend accwgc
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # gdep (stile)
+                pltpu.VMEM((NPIX, 1), jnp.float32),  # ga (stile)
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_raster_fn_packed(nc, num_tiles, grid_x, chunk, nfeat, interpret,
+                           reduction="sort", carry_depth=True):
+    """Packed-layout analog of _make_raster_fn (BinnedPacked streams)."""
+    fwd_call = _make_fwd_call_packed(
+        nc, num_tiles, grid_x, chunk, interpret, need_depth=carry_depth
+    )
+    bwd_call = _make_bwd_call_packed(
+        nc, num_tiles, grid_x, chunk, interpret, need_depth=carry_depth
+    )
+    value_rows = tuple(
+        i for i in range(ROW_GID) if carry_depth or i != ROW_DEPTH
+    ) + tuple(range(ROW_FEAT0, ROW_FEAT0 + nfeat))
+
+    @jax.custom_vjp
+    def raster(attrs, hist, padded_gid, meta, lim, btile, blk, slot_pos,
+               slot_off):
+        stream = _build_stream(attrs, padded_gid, chunk)
+        return fwd_call(meta, lim, btile, blk, stream, _phi_pow())
+
+    def raster_fwd(attrs, hist, padded_gid, meta, lim, btile, blk, slot_pos,
+                   slot_off):
+        stream = _build_stream(attrs, padded_gid, chunk)
+        color, aux = fwd_call(meta, lim, btile, blk, stream, _phi_pow())
+        return (color, aux), (
+            stream, hist, meta, lim, btile, blk, slot_pos, slot_off, color,
+            aux,
+        )
+
+    def raster_bwd(res, g):
+        (stream, hist, meta, lim, btile, blk, slot_pos, slot_off, color,
+         aux) = res
+        g_color, g_aux = g
+        (ginst,) = bwd_call(
+            meta, lim, btile, blk, stream, _phi_pow(), _phi_mom(),
+            g_color, g_aux, color, aux,
+            g_color, g_aux, color, aux,
+        )
+        if reduction == "perm":
+            per_gauss = segment_reduce_by_perm(
+                ginst, slot_pos, slot_off, value_rows
+            )
+        elif reduction == "scatter":
+            per_gauss = segment_reduce_by_scatter(
+                ginst, ROW_GID, hist.shape[0], value_rows
+            )
+        else:
+            per_gauss = segment_reduce_by_key(
+                ginst, ROW_GID, hist, value_rows
+            )
+        return (
+            per_gauss.T, None, None, None, None, None, None, None, None,
+        )
+
+    raster.defvjp(raster_fwd, raster_bwd)
+    return raster
 
 
 @functools.lru_cache(maxsize=32)
@@ -1252,11 +1879,23 @@ def rasterize_tiles_pallas(
         # a cached BinnedCSR from a 'sort' config has no slot indices
         reduction = "sort"
     nc = binned.chunk_meta.shape[0]
+    dummy = jnp.zeros(1, jnp.int32)
+    if hasattr(binned, "chunk_btile"):  # BinnedPacked stream
+        fn = _make_raster_fn_packed(
+            nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction,
+            carry_depth,
+        )
+        color, aux = fn(
+            attrs, binned.gid_hist, binned.padded_gid, binned.chunk_meta,
+            binned.chunk_lim, binned.chunk_btile, binned.chunk_blk,
+            binned.slot_pos if reduction == "perm" else dummy,
+            binned.slot_off if reduction == "perm" else dummy,
+        )
+        return PallasRasterOut(color=color, aux=aux)
     fn = _make_raster_fn(
         nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction, scan_impl,
         carry_depth,
     )
-    dummy = jnp.zeros(1, jnp.int32)
     color, aux = fn(
         attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
         binned.chunk_lim, binned.chunk_blk,

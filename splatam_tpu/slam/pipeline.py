@@ -316,7 +316,11 @@ def rgbd_slam(
                         # per-tile counts (render-exact for any rank;
                         # binning.alignment_order)
                         tile_rank = None
-                        if raster_cfg.align_windows and prev_binned is not None:
+                        if (
+                            raster_cfg.align_windows
+                            and raster_cfg.layout != "packed"
+                            and prev_binned is not None
+                        ):
                             tile_rank = alignment_order(
                                 prev_binned.counts, raster_cfg.chunk
                             )
@@ -450,7 +454,11 @@ def rgbd_slam(
                         cached = binned_cache.get(kf["id"])
                         if cached is None or it - cached[1] >= map_rebin:
                             tile_rank = None
-                            if raster_cfg.align_windows and cached is not None:
+                            if (
+                                raster_cfg.align_windows
+                                and raster_cfg.layout != "packed"
+                                and cached is not None
+                            ):
                                 tile_rank = alignment_order(
                                     cached[0].counts, raster_cfg.chunk
                                 )

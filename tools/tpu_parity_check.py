@@ -42,8 +42,9 @@ def main():
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
 
     def make_cfg(backend):
-        # mode string: backend plus -roll / -perm / -scatter / -align tokens
-        scan, red, align = "mxu", "sort", False
+        # mode string: backend plus -roll / -perm / -scatter / -align /
+        # -packed tokens
+        scan, red, align, layout = "mxu", "sort", False, "aligned"
         for tok in backend.split("-")[1:]:
             if tok == "roll":
                 scan = "roll"
@@ -51,9 +52,12 @@ def main():
                 red = tok
             elif tok == "align":
                 align = True
+            elif tok == "packed":
+                layout = "packed"
         return RasterConfig(
             max_instances=2**18, max_per_tile=1024, chunk=128,
             backend=backend.split("-")[0], scan_impl=scan, reduction=red,
+            layout=layout,
         ), align
 
     def loss_and_renders(gauss, backend, binned=None):
@@ -75,7 +79,8 @@ def main():
 
     modes = (
         "pallas", "pallas-roll", "pallas-perm", "pallas-scatter",
-        "pallas-align", "pallas-roll-perm-align", "jnp",
+        "pallas-align", "pallas-roll-perm-align",
+        "pallas-packed", "pallas-packed-perm", "jnp",
     )
     results = {}
     for backend in modes:
