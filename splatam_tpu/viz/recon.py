@@ -168,9 +168,44 @@ def plot_trajectory(params: Dict, gt_w2c_all: Optional[np.ndarray], out_path: st
     plt.close(fig)
 
 
-def interactive_recon(params: Dict, active, intrinsics, first_w2c, viz_cfg: Dict):
-    """Open3D interactive reconstruction (`viz_scripts/final_recon.py`);
-    requires open3d + a display."""
+def _render_view(params, active, w2c, k, w, h, raster_cfg, render_mode,
+                 show_sil=False):
+    """Render the map from an arbitrary viewer camera; returns (pts, cols)
+    for the point-cloud display (`final_recon.py:106-170` render+rgbd2pcd)."""
+    import jax.numpy as jnp
+
+    from splatam_tpu.core.transforms import matrix_to_quaternion
+
+    if render_mode == "centers":
+        pts = np.asarray(params["means3D"])
+        cols = np.asarray(params["rgb_colors"])
+        keep = np.asarray(active).astype(bool)
+        return pts[keep], np.clip(cols[keep], 0, 1)
+    cam = setup_camera(w, h, k, np.eye(4))
+    w2c_j = jnp.asarray(w2c, dtype=jnp.float32)
+    rot = matrix_to_quaternion(w2c_j[:3, :3])
+    tran = w2c_j[:3, 3]
+    gauss = {kk: v for kk, v in params.items() if not kk.startswith("cam_")}
+    out = render_for_loss(
+        gauss, active, rot, tran, cam, raster_cfg,
+        gaussians_grad=False, camera_grad=False,
+    )[0]
+    color = np.clip(np.asarray(out.color[:3]), 0, 1)
+    depth = np.asarray(out.color[3:4])
+    if show_sil:
+        sil = np.clip(np.asarray(out.color[4]), 0, 1)
+        color = np.repeat((1.0 - sil)[None], 3, axis=0)
+    return rgbd2pcd(color, depth, np.asarray(w2c), np.asarray(k))
+
+
+def interactive_recon(params: Dict, active, intrinsics, first_w2c,
+                      viz_cfg: Dict, raster_cfg: RasterConfig = RasterConfig()):
+    """Open3D interactive reconstruction (`viz_scripts/final_recon.py:
+    172-301`): estimated camera frustums + trajectory linesets, and a
+    view-control loop that re-renders the splats from the CURRENT viewer
+    camera every frame (so the display is a true re-raster, not a static
+    point cloud). Requires open3d + a display; all geometry comes from the
+    pure-numpy builders in viz/geometry.py (tested headless)."""
     try:
         import open3d as o3d
     except ImportError as e:  # pragma: no cover - optional dependency
@@ -178,18 +213,165 @@ def interactive_recon(params: Dict, active, intrinsics, first_w2c, viz_cfg: Dict
             "open3d is not installed; use render_trajectory for headless viz"
         ) from e
 
+    from splatam_tpu.viz.geometry import scene_geometry
+
     w, h = viz_cfg.get("viz_w", 600), viz_cfg.get("viz_h", 340)
-    cam = setup_camera(w, h, intrinsics, first_w2c)
-    out = render_for_loss(
-        params, active,
-        params["cam_unnorm_rots"][0, :, 0], params["cam_trans"][0, :, 0],
-        cam, RasterConfig(), gaussians_grad=False, camera_grad=False,
-    )[0]
-    pts, cols = rgbd2pcd(
-        np.asarray(out.color[:3]), np.asarray(out.color[3:4]),
-        np.asarray(first_w2c), np.asarray(intrinsics),
+    view_scale = float(viz_cfg.get("view_scale", 2.0))
+    render_mode = viz_cfg.get("render_mode", "color")
+    show_sil = bool(viz_cfg.get("show_sil", False))
+    k = np.asarray(intrinsics, dtype=np.float64)[:3, :3].copy()
+
+    vis = o3d.visualization.Visualizer()  # pragma: no cover - needs display
+    vis.create_window(
+        width=int(w * view_scale), height=int(h * view_scale), visible=True
+    )
+    pts, cols = _render_view(
+        params, active, np.asarray(first_w2c), k, w, h, raster_cfg,
+        render_mode, show_sil,
     )
     pcd = o3d.geometry.PointCloud()
     pcd.points = o3d.utility.Vector3dVector(pts)
     pcd.colors = o3d.utility.Vector3dVector(cols)
-    o3d.visualization.draw_geometries([pcd])  # pragma: no cover
+    vis.add_geometry(pcd)
+
+    if viz_cfg.get("visualize_cams", True):
+        geo = scene_geometry(params, w, h, k)
+        for f in geo["frustums"]:
+            ls = o3d.geometry.LineSet()
+            ls.points = o3d.utility.Vector3dVector(f["points"])
+            ls.lines = o3d.utility.Vector2iVector(f["lines"])
+            ls.paint_uniform_color(f["color"])
+            vis.add_geometry(ls)
+        traj = geo["trajectory"]
+        ls = o3d.geometry.LineSet()
+        ls.points = o3d.utility.Vector3dVector(traj["points"])
+        ls.lines = o3d.utility.Vector2iVector(traj["lines"])
+        ls.colors = o3d.utility.Vector3dVector(traj["colors"])
+        vis.add_geometry(ls)
+
+    # view control seeded from the first camera (`final_recon.py:226-244`)
+    view_k = k * view_scale
+    view_k[2, 2] = 1.0
+    view_control = vis.get_view_control()
+    cparams = o3d.camera.PinholeCameraParameters()
+    view_w2c = np.asarray(first_w2c, dtype=np.float64).copy()
+    if viz_cfg.get("offset_first_viz_cam", True):
+        view_w2c[:3, 3] += np.array([0.0, 0.0, 0.5])
+    cparams.extrinsic = view_w2c
+    cparams.intrinsic.intrinsic_matrix = view_k
+    cparams.intrinsic.height = int(h * view_scale)
+    cparams.intrinsic.width = int(w * view_scale)
+    view_control.convert_from_pinhole_camera_parameters(
+        cparams, allow_arbitrary=True
+    )
+    opts = vis.get_render_option()
+    opts.point_size = view_scale
+    opts.light_on = False
+
+    # interactive loop: re-render from the live viewer camera each frame
+    while True:  # pragma: no cover - needs display
+        cam_params = view_control.convert_to_pinhole_camera_parameters()
+        cur_k = np.asarray(cam_params.intrinsic.intrinsic_matrix) / view_scale
+        cur_k[2, 2] = 1.0
+        cur_w2c = np.asarray(cam_params.extrinsic)
+        pts, cols = _render_view(
+            params, active, cur_w2c, cur_k, w, h, raster_cfg, render_mode,
+            show_sil,
+        )
+        pcd.points = o3d.utility.Vector3dVector(pts)
+        pcd.colors = o3d.utility.Vector3dVector(cols)
+        vis.update_geometry(pcd)
+        if not vis.poll_events():
+            break
+        vis.update_renderer()
+    vis.destroy_window()
+
+
+def interactive_online_recon(
+    params: Dict, active, timestep, intrinsics, first_w2c, viz_cfg: Dict,
+    keyframe_time_indices=None,
+    raster_cfg: RasterConfig = RasterConfig(),
+):  # pragma: no cover - needs open3d + a display
+    """Open3D ONLINE reconstruction replay (`viz_scripts/online_recon.py`):
+    steps through the keyframe timeline, each step re-rendering the map
+    with only the Gaussians that existed by then (timestep <= t), moving
+    the current-camera frustum and growing the trajectory lineset — the
+    headless PNG analog is `online_replay`. Ends in the final_recon-style
+    free-view loop."""
+    try:
+        import open3d as o3d
+    except ImportError as e:
+        raise ImportError(
+            "open3d is not installed; use online_replay for headless viz"
+        ) from e
+
+    import jax.numpy as jnp
+
+    from splatam_tpu.viz.geometry import (
+        camera_frustum_lines,
+        estimated_w2cs,
+        frustum_colors,
+        trajectory_colors,
+        trajectory_lineset,
+    )
+
+    w, h = viz_cfg.get("viz_w", 600), viz_cfg.get("viz_h", 340)
+    view_scale = float(viz_cfg.get("view_scale", 2.0))
+    k = np.asarray(intrinsics, dtype=np.float64)[:3, :3].copy()
+    num_frames = params["cam_unnorm_rots"].shape[-1]
+    if keyframe_time_indices is None:
+        keyframe_time_indices = list(range(num_frames))
+    w2cs = estimated_w2cs(params, num_frames)
+    fcols = frustum_colors(num_frames)
+
+    vis = o3d.visualization.Visualizer()
+    vis.create_window(
+        width=int(w * view_scale), height=int(h * view_scale), visible=True
+    )
+    pcd = o3d.geometry.PointCloud()
+    vis.add_geometry(pcd)
+    active = jnp.asarray(active)
+    timestep_j = jnp.asarray(timestep)
+    prev_frustum = None
+    prev_lines = None
+    centers = []
+    for t in keyframe_time_indices:
+        t = int(t)
+        born = active & (timestep_j <= t)
+        pts, cols = _render_view(
+            params, born, w2cs[t], k, w, h, raster_cfg,
+            viz_cfg.get("render_mode", "color"),
+            bool(viz_cfg.get("show_sil", False)),
+        )
+        pcd.points = o3d.utility.Vector3dVector(pts)
+        pcd.colors = o3d.utility.Vector3dVector(cols)
+        vis.update_geometry(pcd)
+        # move the current-pose frustum (`online_recon.py:250-255`)
+        if prev_frustum is not None:
+            vis.remove_geometry(prev_frustum)
+        fpts, flines = camera_frustum_lines(w, h, k, w2cs[t], 0.045)
+        frustum = o3d.geometry.LineSet()
+        frustum.points = o3d.utility.Vector3dVector(fpts)
+        frustum.lines = o3d.utility.Vector2iVector(flines)
+        frustum.paint_uniform_color(fcols[t])
+        vis.add_geometry(frustum)
+        prev_frustum = frustum
+        # grow the trajectory polyline
+        centers.append(np.linalg.inv(w2cs[t])[:3, 3])
+        if len(centers) >= 2:
+            if prev_lines is not None:
+                vis.remove_geometry(prev_lines)
+            tpts, tlines = trajectory_lineset(np.asarray(centers))
+            lines = o3d.geometry.LineSet()
+            lines.points = o3d.utility.Vector3dVector(tpts)
+            lines.lines = o3d.utility.Vector2iVector(tlines)
+            lines.colors = o3d.utility.Vector3dVector(
+                trajectory_colors(len(tlines))
+            )
+            vis.add_geometry(lines)
+            prev_lines = lines
+        if not vis.poll_events():
+            vis.destroy_window()
+            return
+        vis.update_renderer()
+    vis.destroy_window()
