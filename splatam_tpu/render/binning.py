@@ -624,26 +624,36 @@ def bin_gaussians_packed(
     blk = jnp.where(in_big | in_small, jnp.minimum(c_idx, ks // chunk), 0)
 
     # ---- packed gid stream -----------------------------------------------
-    # tile-of-position via scatter-of-ones + cumsum (jnp.repeat's internal
-    # 1-D gather costs ~6 ms at this size); zero-length groups (empties)
-    # collide on one slot and the cumsum skips them, as in _expand_instances
+    # The stream slot -> sorted slot map comes from the CHUNK tables, not a
+    # per-position scatter-cumsum (an (Ks,)-sized scatter+cumsum measured
+    # ~11 ms per rebin on chip): slot j in chunk c belongs to stile if
+    # j%chunk < send else btile, and src = j + (sort_start - packed_start)
+    # of that tile — one (NC, 3) row gather by j//chunk + one final gid
+    # gather. Tables are (T,)/(NC,)-sized; all gathers ride the fast path.
     pos = jnp.arange(ks, dtype=jnp.int32)
-    ind = (
-        jnp.zeros(ks, jnp.int32)
-        .at[jnp.where(ord_counts > 0, packed_start_ord, ks)]
-        .add(1, mode="drop")
+    start_by_tile = (
+        jnp.zeros(t_len, jnp.int32).at[ord_tiles].set(packed_start_ord)
     )
-    opos = jnp.clip(jnp.cumsum(ind) - 1, 0, t_len - 1)
-    # row table: [packed_start, count, sort_start] per ordered tile
-    ptable = jnp.stack(
-        [packed_start_ord, ord_counts, jnp.take(sort_start, ord_tiles)],
+    off_by_tile = sort_start - start_by_tile  # (T,) sort-vs-packed shift
+    ctable = jnp.stack(
+        [
+            send,
+            lim,
+            jnp.take(off_by_tile, stile),
+            jnp.take(off_by_tile, btile),
+        ],
         axis=-1,
+    )  # (NC, 4)
+    crow = jnp.take(
+        ctable, jax.lax.optimization_barrier(jnp.minimum(pos // chunk, nc - 1)),
+        axis=0,
     )
-    prow = jnp.take(ptable, jax.lax.optimization_barrier(opos), axis=0)
-    prow = jax.lax.optimization_barrier(prow)
-    local = pos - prow[:, 0]
-    valid = (local >= 0) & (local < prow[:, 1]) & (pos < kp)
-    src = jnp.clip(prow[:, 2] + local, 0, k - 1)
+    crow = jax.lax.optimization_barrier(crow)
+    r = pos % chunk
+    src = jnp.clip(
+        pos + jnp.where(r < crow[:, 0], crow[:, 2], crow[:, 3]), 0, k - 1
+    )
+    valid = (r < crow[:, 1]) & (pos < kp)
     padded_gid = jnp.where(
         valid,
         jnp.take(sorted_gid, jax.lax.optimization_barrier(src)),

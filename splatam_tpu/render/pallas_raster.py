@@ -682,13 +682,58 @@ def _fwd_kernel_packed(
 
     t_run = t_run_sc[:]
     alive = jnp.max(t_run) > 0.0
+    boundary = send < lim
     # a chunk that neither continues a live stile nor starts a new tile is
     # pure dead-tile tail: skip the blend math (the saturation trim makes
     # these rare; correctness never depends on the skip — dead pixels'
     # negative carry zeroes their weights anyway)
-    run = (lim > 0) & (alive | (send < lim))
+    run = (lim > 0) & (alive | boundary)
 
-    @pl.when(run)
+    # single-tile chunk (~2/3 of the grid): exactly the aligned step's math
+    # — no per-column origin selects, plain triangular scan, one color
+    # matmul — plus empty-head pend resets
+    @pl.when(run & jnp.logical_not(boundary))
+    def _():
+        blk = inst_ref[:]
+        alpha, _, _, _, _, _, _, _ = _chunk_alpha_mxu(
+            blk, phi_ref[:], t, 0, lim, chunk, grid_x
+        )
+        t_before, t_cum, live, new_t_run = _chunk_transmittance(
+            alpha, t_run, "mxu", chunk, tri=_triangular(chunk)
+        )
+        w = jnp.where(live, alpha * t_before, 0.0)
+        feats = blk[ROW_FEAT0:, :]
+        contrib = jax.lax.dot_general(
+            feats, w, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(first == 1)
+        def _():
+            color_ref[0] = pendc_sc[:] + contrib
+
+        @pl.when(first == 0)
+        def _():
+            color_ref[0] += contrib
+
+        pendc_sc[:] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
+        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
+        if need_depth:
+            dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            depth_sc[:] += jnp.sum(
+                jnp.where(crossing, dep, 0.0), axis=1, keepdims=True
+            )
+            pendd_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+        t_run_sc[:] = new_t_run
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        dep_v = jnp.where(col < lim, blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0)
+        satd_sc[0] = jnp.where(alive, jnp.max(dep_v), satd_sc[0])
+        satd_sc[1] = 0.0
+
+    # boundary chunk: two tiles, segmented scan, handoff into pend scratch
+    @pl.when(run & boundary)
     def _():
         blk = inst_ref[:]
         alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
@@ -743,7 +788,7 @@ def _fwd_kernel_packed(
         dep_v = jnp.where(valid, blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0)
         dep_a = jnp.max(jnp.where(cola, dep_v, 0.0))
         dep_b = jnp.max(jnp.where(cola, 0.0, dep_v))
-        satd_sc[0] = jnp.where(alive & (send > 0), dep_a, satd_sc[0])
+        satd_sc[0] = jnp.where(alive, dep_a, satd_sc[0])
         satd_sc[1] = dep_b
 
     @pl.when(jnp.logical_not(run))
@@ -780,6 +825,41 @@ def _fwd_kernel_packed(
         )
 
 
+def _colx(block8, row):
+    """(NPIX, 1) column `row` of a channel-major (8, NPIX) block via a tiny
+    one-hot matmul — a row -> column relayout would otherwise be a Mosaic
+    transpose."""
+    e = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
+    ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        block8, e, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ga_gdep_blocks(g_color, g_aux, color, aux):
+    """(T, 8, NPIX) per-tile backward constants, computed ONCE XLA-side:
+    row 0 = dL/d median depth, row 1 = ga (the per-pixel channel sum of
+    rescolor * gcolor plus the final-T gradient term — the only combination
+    the kernel's dalpha ever reads). Replaces three per-tile input blocks
+    (gaux / rescolor / resaux) per grid step and their in-kernel one-hot
+    matmuls: per-step block DMAs are a real cost at ~6-8k grid steps."""
+    ga = g_aux[:, 1, :] * aux[:, 1, :] + jnp.sum(
+        color * g_color, axis=1
+    )  # (T, NPIX)
+    t = ga.shape[0]
+    return jnp.concatenate(
+        [
+            g_aux[:, 0:1, :],
+            ga[:, None, :],
+            jnp.zeros((t, 6, NPIX), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def _bwd_kernel(
     meta_ref,
     lim_ref,
@@ -788,15 +868,13 @@ def _bwd_kernel(
     phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
     phim_ref,  # (NPIX, 24) bf16 constant moment basis (_phi_mom_host)
     gcolor_ref,  # (1, NFEAT_PAD, NPIX) upstream dL/d color accumulator
-    gaux_ref,  # (1, 8, NPIX): row 0=dL/d median depth, row 1=dL/d final T
-    rescolor_ref,  # (1, NFEAT_PAD, NPIX) forward color accumulator
-    resaux_ref,  # (1, 8, NPIX) forward aux (final T at row 1)
+    gadep_ref,  # (1, 8, NPIX): row 0 = dL/d median depth, row 1 = ga
     ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
     t_run_sc,
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
     alive_sc,
     gdep_sc,  # (NPIX, 1) per-tile constant: dL/d median depth column
-    ga_sc,  # (NPIX, 1) per-tile constant: sum_f rescolor*gcolor + gT*T_final
+    ga_sc,  # (NPIX, 1) per-tile constant (see _ga_gdep_blocks)
     *,
     grid_x: int,
     chunk: int,
@@ -811,36 +889,9 @@ def _bwd_kernel(
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
-
-        # per-TILE constants, hoisted out of the per-chunk body (tiles
-        # average only a few chunks, but these are 4 of the ~13 MXU issues
-        # a step would otherwise make). Per-pixel COLUMNS come out of the
-        # channel-major blocks via tiny one-hot matmuls — a (8, NPIX) row ->
-        # (NPIX, 1) column relayout would otherwise be a Mosaic transpose.
-        def _col(block8, row):
-            e = (
-                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
-            ).astype(jnp.float32)
-            return jax.lax.dot_general(
-                block8, e, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (NPIX, 1)
-
         if need_depth:
-            gdep_sc[:] = _col(gaux_ref[0], 0)
-        # gtot (per-pixel channel sum of rescolor*gcolor) and gtt (final-T
-        # gradient term) only ever appear as gtot + gtt - prefix in dalpha,
-        # so they are folded into ONE per-tile constant
-        ga_sc[:] = _col(gaux_ref[0], 1) * _col(resaux_ref[0], 1) + (
-            jax.lax.dot_general(
-                rescolor_ref[0] * gcolor_ref[0],
-                jnp.ones((NFEAT_PAD, 1), jnp.float32),
-                (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-        )
+            gdep_sc[:] = _colx(gadep_ref[0], 0)
+        ga_sc[:] = _colx(gadep_ref[0], 1)
 
     run = (lim > skip) & (alive_sc[0] == 1)
 
@@ -979,13 +1030,9 @@ def _bwd_kernel_packed(
     phi_ref,  # (NPIX, 27) bf16 power basis
     phim_ref,  # (NPIX, 24) bf16 moment basis
     gcolor_a_ref,  # (1, NFEAT_PAD, NPIX) upstream grads, STILE's block
-    gaux_a_ref,  # (1, 8, NPIX)
-    rescolor_a_ref,  # (1, NFEAT_PAD, NPIX) forward color, STILE
-    resaux_a_ref,  # (1, 8, NPIX)
-    gcolor_b_ref,  # same four for BTILE (the boundary head's tile)
-    gaux_b_ref,
-    rescolor_b_ref,
-    resaux_b_ref,
+    gadep_a_ref,  # (1, 8, NPIX) per-tile constants (_ga_gdep_blocks), STILE
+    gcolor_b_ref,  # same two for BTILE (the boundary head's tile)
+    gadep_b_ref,
     ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
     t_run_sc,  # (NPIX, 1)
     accwgc_sc,  # (NPIX, 1) stile's running prefix of w * gc
@@ -1001,32 +1048,12 @@ def _bwd_kernel_packed(
     """Packed-layout backward: single front-to-back pass, two tiles per
     boundary chunk (see _bwd_kernel for the math; `backward.cu:850-1224`).
 
-    The btile-side per-pixel constants (ga, gdep) are recomputed from the
-    btile-indexed input blocks on every step (their one-hot matmuls are a
-    few MXU issues); the stile-side ones live in scratch across the tile's
-    chunks as before."""
+    Per-tile backward constants arrive precomputed (_ga_gdep_blocks); the
+    btile side is read per boundary step, the stile side lives in scratch
+    across the tile's chunks."""
     c = pl.program_id(0)
     t, first, send, lim = _meta(meta_ref, lim_ref, c)
     bt = btile_ref[c]
-
-    def _col(block8, row):
-        e = (
-            jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
-        ).astype(jnp.float32)
-        return jax.lax.dot_general(
-            block8, e, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (NPIX, 1)
-
-    def _ga(gaux, resaux, rescolor, gcolor):
-        return _col(gaux, 1) * _col(resaux, 1) + jax.lax.dot_general(
-            rescolor * gcolor,
-            jnp.ones((NFEAT_PAD, 1), jnp.float32),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
 
     @pl.when(c == 0)
     def _():
@@ -1038,15 +1065,13 @@ def _bwd_kernel_packed(
         t_run_sc[:] = pendt_sc[:]
         accwgc_sc[:] = pendacc_sc[:]
         if need_depth:
-            gdep_a_sc[:] = _col(gaux_a_ref[0], 0)
-        ga_a_sc[:] = _ga(
-            gaux_a_ref[0], resaux_a_ref[0], rescolor_a_ref[0],
-            gcolor_a_ref[0],
-        )
+            gdep_a_sc[:] = _colx(gadep_a_ref[0], 0)
+        ga_a_sc[:] = _colx(gadep_a_ref[0], 1)
 
     t_run = t_run_sc[:]
     alive = jnp.max(t_run) > 0.0
-    run = (lim > 0) & (alive | (send < lim))
+    boundary = send < lim
+    run = (lim > 0) & (alive | boundary)
 
     @pl.when(jnp.logical_not(run))
     def _():
@@ -1057,7 +1082,96 @@ def _bwd_kernel_packed(
         pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
         pendacc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
 
-    @pl.when(run)
+    def _grad_rows(blk, xl, yl, dop_int, dpower, gdep_row):
+        """Shared per-instance gradient-row assembly (moment matmul +
+        per-instance recombination — see _bwd_kernel)."""
+        mom24 = jax.lax.dot_general(
+            phim_ref[:],
+            _split2(dpower, axis=1),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        mom = (
+            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
+            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
+            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
+        )
+        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
+        ca = blk[ROW_CA : ROW_CA + 1, :]
+        cb = blk[ROW_CB : ROW_CB + 1, :]
+        cc = blk[ROW_CC : ROW_CC + 1, :]
+        sdx = xl * s0 - sx
+        sdy = yl * s0 - sy
+        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
+        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
+        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
+        return jnp.concatenate(
+            [
+                -(ca * sdx + cb * sdy),
+                -(cc * sdy + cb * sdx),
+                -0.5 * sdxx,
+                -sdxy,
+                -0.5 * sdyy,
+                jnp.sum(dop_int, axis=0, keepdims=True),
+                gdep_row,
+                _row_key(blk, 0, lim, chunk),
+            ],
+            axis=0,
+        )
+
+    # single-tile chunk (~2/3 of the grid): the aligned step's math — one
+    # gc/gfeat matmul, plain triangular scan, scratch ga — plus pend resets
+    @pl.when(run & jnp.logical_not(boundary))
+    def _():
+        blk = inst_ref[:]
+        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
+            blk, phi_ref[:], t, 0, lim, chunk, grid_x
+        )
+        tri = _triangular(chunk)
+        t_before, t_cum, live, new_t_run = _chunk_transmittance(
+            alpha, t_run, "mxu", chunk, tri=tri, terms=2
+        )
+        w = jnp.where(live, alpha * t_before, 0.0)
+        g_color = gcolor_a_ref[0]
+        feats = blk[ROW_FEAT0:, :]
+        gc = jax.lax.dot_general(
+            g_color, feats, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        wgc = w * gc
+        prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri, terms=2)
+        dalpha = jnp.where(
+            live,
+            t_before * gc - (ga_a_sc[:] - prefix) / (1.0 - alpha),
+            0.0,
+        )
+        unclamped = keep & (raw < ALPHA_CAP)
+        dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
+        dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
+        if need_depth:
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            gdep_row = jnp.sum(
+                jnp.where(crossing, gdep_a_sc[:], 0.0), axis=0, keepdims=True
+            )
+        else:
+            gdep_row = jnp.zeros((1, chunk), jnp.float32)
+        grows = _grad_rows(blk, xl, yl, dop_int, dpower, gdep_row)
+        gfeat = jax.lax.dot_general(
+            g_color, w, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
+        t_run_sc[:] = new_t_run
+        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
+        accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
+        pendacc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
+
+    # boundary chunk: two tiles (per-column origins/constants, segmented
+    # scan, btile-side ga/gdep recomputed from its input blocks), handoff
+    @pl.when(run & boundary)
     def _():
         blk = inst_ref[:]
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
@@ -1076,9 +1190,7 @@ def _bwd_kernel_packed(
 
         g_color_a = gcolor_a_ref[0]  # (NFEAT_PAD, NPIX)
         g_color_b = gcolor_b_ref[0]
-        ga_b = _ga(
-            gaux_b_ref[0], resaux_b_ref[0], rescolor_b_ref[0], g_color_b
-        )
+        ga_b = _colx(gadep_b_ref[0], 1)
         ga = jnp.where(cola, ga_a_sc[:], ga_b)
 
         feats = blk[ROW_FEAT0:, :]
@@ -1109,31 +1221,8 @@ def _bwd_kernel_packed(
         dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
         dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
 
-        mom24 = jax.lax.dot_general(
-            phim_ref[:],
-            _split2(dpower, axis=1),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )
-        mom = (
-            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
-            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
-            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
-        )
-        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
-
-        ca = blk[ROW_CA : ROW_CA + 1, :]
-        cb = blk[ROW_CB : ROW_CB + 1, :]
-        cc = blk[ROW_CC : ROW_CC + 1, :]
-        sdx = xl * s0 - sx
-        sdy = yl * s0 - sy
-        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
-        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
-        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
-
         if need_depth:
-            gdep_b = _col(gaux_b_ref[0], 0)
+            gdep_b = _colx(gadep_b_ref[0], 0)
             gdep = jnp.where(cola, gdep_a_sc[:], gdep_b)
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
             gdep_row = jnp.sum(
@@ -1141,19 +1230,7 @@ def _bwd_kernel_packed(
             )
         else:
             gdep_row = jnp.zeros((1, chunk), jnp.float32)
-        grows = jnp.concatenate(
-            [
-                -(ca * sdx + cb * sdy),
-                -(cc * sdy + cb * sdx),
-                -0.5 * sdxx,
-                -sdxy,
-                -0.5 * sdyy,
-                jnp.sum(dop_int, axis=0, keepdims=True),
-                gdep_row,
-                _row_key(blk, 0, lim, chunk),
-            ],
-            axis=0,
-        )
+        grows = _grad_rows(blk, xl, yl, dop_int, dpower, gdep_row)
         wa = jnp.where(cola, w, 0.0)
         wb = w - wa
         gfeat = jax.lax.dot_general(
@@ -1367,8 +1444,6 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu",
                 _const_spec(24),
                 pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
                 pl.BlockSpec((1, 8, NPIX), _tile_of),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
-                pl.BlockSpec((1, 8, NPIX), _tile_of),
             ],
             out_specs=[_out_chunk_spec(ROWS, chunk)],
             scratch_shapes=_common_scratch()
@@ -1449,10 +1524,6 @@ def _make_bwd_call_packed(nc, num_tiles, grid_x, chunk, interpret,
                 _const_spec4(24),
                 pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of4),
                 pl.BlockSpec((1, 8, NPIX), _tile_of4),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of4),
-                pl.BlockSpec((1, 8, NPIX), _tile_of4),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _btile_of4),
-                pl.BlockSpec((1, 8, NPIX), _btile_of4),
                 pl.BlockSpec((1, NFEAT_PAD, NPIX), _btile_of4),
                 pl.BlockSpec((1, 8, NPIX), _btile_of4),
             ],
@@ -1508,10 +1579,10 @@ def _make_raster_fn_packed(nc, num_tiles, grid_x, chunk, nfeat, interpret,
         (stream, hist, meta, lim, btile, blk, slot_pos, slot_off, color,
          aux) = res
         g_color, g_aux = g
+        gadep = _ga_gdep_blocks(g_color, g_aux, color, aux)
         (ginst,) = bwd_call(
             meta, lim, btile, blk, stream, _phi_pow(), _phi_mom(),
-            g_color, g_aux, color, aux,
-            g_color, g_aux, color, aux,
+            g_color, gadep, g_color, gadep,
         )
         if reduction == "perm":
             per_gauss = segment_reduce_by_perm(
@@ -1741,9 +1812,9 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
     def raster_bwd(res, g):
         stream, hist, meta, lim, blk, slot_pos, slot_off, color, aux = res
         g_color, g_aux = g
+        gadep = _ga_gdep_blocks(g_color, g_aux, color, aux)
         (ginst,) = bwd_call(
-            meta, lim, blk, stream, _phi_pow(), _phi_mom(),
-            g_color, g_aux, color, aux,
+            meta, lim, blk, stream, _phi_pow(), _phi_mom(), g_color, gadep,
         )
         if reduction == "perm":
             per_gauss = segment_reduce_by_perm(
