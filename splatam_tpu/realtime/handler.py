@@ -100,6 +100,16 @@ class ActiveViewHandler:
                 gaussians_grad=False, camera_grad=False,
             )[0]
         )
+        # one compiled program per map capacity: an EAGER render_fisher
+        # dispatches every op through the ~35 ms axon tunnel (measured
+        # ~1.3 s/pose vs ~0.43 s jitted at 200k gaussians, 1200x680 —
+        # tools/fisher_bench.py)
+        self._fisher = jax.jit(
+            lambda p, a, r, t: render_fisher(
+                p, a, r, t, self.cam, self.raster_cfg,
+                seed_value=self.cfg.fisher_seed,
+            )
+        )
 
     # -- rendering ---------------------------------------------------------
     def get_renders(self, params: Dict, active, w2c: np.ndarray):
@@ -112,16 +122,16 @@ class ActiveViewHandler:
         return out.color[:3], out.color[3:4], out.color[4]
 
     # -- Fisher bookkeeping --------------------------------------------------
-    def compute_hessian(self, params: Dict, active, w2c: np.ndarray) -> np.ndarray:
-        """(N, 4) diagonal Fisher at a pose (`ros_handler.py:839-902`)."""
+    def _hessian_dev(self, params: Dict, active, w2c: np.ndarray):
+        """(N, 4) diagonal Fisher at a pose as a DEVICE array."""
         w2c = jnp.asarray(w2c, jnp.float32)
         rot = matrix_to_quaternion(w2c[:3, :3])
         gauss = {k: v for k, v in params.items() if not k.startswith("cam_")}
-        h = render_fisher(
-            gauss, active, rot, w2c[:3, 3], self.cam, self.raster_cfg,
-            seed_value=self.cfg.fisher_seed,
-        )
-        return np.asarray(h)
+        return self._fisher(gauss, active, rot, w2c[:3, 3])
+
+    def compute_hessian(self, params: Dict, active, w2c: np.ndarray) -> np.ndarray:
+        """(N, 4) diagonal Fisher at a pose (`ros_handler.py:839-902`)."""
+        return np.asarray(self._hessian_dev(params, active, w2c))
 
     def add_visited_pose(self, c2w: np.ndarray) -> None:
         self.visited_poses.append(np.asarray(c2w))
@@ -138,9 +148,11 @@ class ActiveViewHandler:
             poses = [poses[i] for i in idx]
         h_train = None
         for c2w in poses:
-            h = self.compute_hessian(params, active, np.linalg.inv(c2w))
+            # accumulate ON DEVICE: a per-pose host fetch costs ~35 ms
+            # through the tunnel; one fetch at the end instead
+            h = self._hessian_dev(params, active, np.linalg.inv(c2w))
             h_train = h if h_train is None else h_train + h
-        self.h_train_inv = 1.0 / (h_train + self.cfg.h_train_eps)
+        self.h_train_inv = np.asarray(1.0 / (h_train + self.cfg.h_train_eps))
 
     def compute_eig_score(self, params: Dict, active, w2c: np.ndarray) -> float:
         if self.h_train_inv is None:

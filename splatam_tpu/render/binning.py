@@ -172,6 +172,50 @@ def sized_config(
     )
 
 
+def shrink_binned(binned, chunk: int, max_stream: int, max_chunks: int):
+    """Slice a binned result down to snug (quantized) capacities.
+
+    Every post-binning cost — the stream gather, the kernel GRID, the
+    gradient-reduction sort and its cumsum internals — scales with the
+    binned arrays' STATIC shapes, which default to the safe worst case
+    (max_instances-derived). A SLAM-scale render at the safe shapes wastes
+    ~2x device time (measured 24 ms/iter in ONE reduction fusion at
+    nc=19610 vs ~10k used — tools/slam_bench.py --profile_last). Slicing is
+    exact as long as the caller verified `used_chunks <= max_chunks` and
+    `stream rows <= max_stream` (host-fetch padded_total / num_instances /
+    stream_rows first); render programs then compile once per quantum tier
+    instead of once per scene size (slam/pipeline.py sizing cache).
+    ``max_stream`` must be a chunk multiple.
+    """
+    nc = max_chunks
+    # valid stream BLOCK indices after the shrink: _build_stream pads one
+    # extra chunk past max_stream, so blocks 0..max_stream//chunk exist
+    blk_cap = jnp.int32(max_stream // chunk)
+    slot_pad = nc * chunk
+    rows = getattr(binned, "stream_rows", None)
+    if rows is None:
+        rows = binned.num_instances
+    # a mid-phase rebin can outgrow a cached tier: flag it (TRACED — no
+    # host sync) so the caller's phase-end overflow retry fires
+    over = (binned.padded_total > nc * chunk) | (rows > max_stream)
+    common = dict(
+        chunk_meta=binned.chunk_meta[:nc],
+        chunk_lim=binned.chunk_lim[:nc],
+        chunk_blk=jnp.minimum(binned.chunk_blk[:nc], blk_cap),
+        overflow=binned.overflow | over,
+        slot_pos=None if binned.slot_pos is None else jnp.minimum(
+            binned.slot_pos, slot_pad
+        ),
+    )
+    if hasattr(binned, "padded_gid"):  # BinnedPacked
+        return binned._replace(
+            padded_gid=binned.padded_gid[:max_stream],
+            chunk_btile=binned.chunk_btile[:nc],
+            **common,
+        )
+    return binned._replace(sorted_gid=binned.sorted_gid[:max_stream], **common)
+
+
 # Safety slack on the tile-cull bound: the kernels recompute alpha with
 # their own (differently fused) f32 arithmetic, so the analytic bound is
 # backed off by this much in power units before dropping an instance.

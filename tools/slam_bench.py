@@ -105,6 +105,9 @@ def main():
     ap.add_argument("--max_instances", type=int, default=2**20,
                     help="pre-cull instance capacity (shrink for CPU smokes)")
     ap.add_argument("--json", default=None, help="write results here")
+    ap.add_argument("--profile_last", action="store_true",
+                    help="jax.profiler trace of the final frame; prints the "
+                         "device-op table (host-overhead hunt)")
     args = ap.parse_args()
 
     import numpy as np
@@ -120,19 +123,51 @@ def main():
     ds = SyntheticDataset(
         num_frames=args.frames, width=args.width, height=args.height, seed=0
     )
+    cb = None
+    logdir = None
+    if args.profile_last:
+        import tempfile
+
+        import jax
+
+        logdir = tempfile.mkdtemp(prefix="slamtrace_")
+
+        def cb(t, state):
+            if t == args.frames - 1:
+                jax.profiler.start_trace(logdir)
+
     t0 = time.time()
-    state = rgbd_slam(make_config(args), dataset=ds, progress=True)
+    state = rgbd_slam(make_config(args), dataset=ds, progress=True,
+                      frame_callback=cb)
     total = time.time() - t0
+    if args.profile_last:
+        import jax
+
+        jax.profiler.stop_trace()
+        from tools.trace_util import aggregate_trace
+
+        dev_ms = aggregate_trace(logdir, top=30, iters=1)
+        lf = (state.timing["tracking_frame"][-1]
+              + state.timing["mapping_frame"][-1])
+        print(f"last-frame wall {lf * 1e3:.0f} ms vs device-op {dev_ms:.0f} "
+              f"ms -> host/dispatch overhead {lf * 1e3 - dev_ms:.0f} ms")
 
     def avg(key, scale):
         v = state.timing[key]
         return float(np.mean(v) * scale) if v else float("nan")
+
+    def med(key, scale):
+        v = state.timing[key]
+        return float(np.median(v) * scale) if v else float("nan")
 
     res = {
         "avg_tracking_iter_ms": round(avg("tracking_iter", 1e3), 2),
         "avg_tracking_frame_s": round(avg("tracking_frame", 1.0), 3),
         "avg_mapping_iter_ms": round(avg("mapping_iter", 1e3), 2),
         "avg_mapping_frame_s": round(avg("mapping_frame", 1.0), 3),
+        # medians exclude the compile spikes (tier changes / first frame)
+        "med_tracking_iter_ms": round(med("tracking_iter", 1e3), 2),
+        "med_mapping_iter_ms": round(med("mapping_iter", 1e3), 2),
         "avg_frame_s": round(
             (avg("tracking_frame", 1.0) + avg("mapping_frame", 1.0)), 3
         ),
