@@ -163,6 +163,37 @@ def main():
             check(f"grad[{k}]{tag}", results[m][2][k] / scale,
                   gj[k] / scale, 2e-2)
 
+    # --- power=2 (fisher) kernel: compiled Mosaic vs per-pixel jacrev
+    # through the jnp rasterizer (the same oracle tests/test_fisher.py pins
+    # in interpret mode) on a small scene — VERDICT r2 item 5 gate
+    # extension ---
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), "..", "tests"))
+    from splatam_tpu.fisher import render_fisher
+    from tests.test_fisher import (  # noqa: E402
+        SEED as _FSEED,
+        _oracle_fisher,
+        _params_from_scene,
+    )
+    from tests.test_oracle import make_scene as _mk  # noqa: E402
+
+    rngf = np.random.default_rng(0)
+    nf, wf, hf = 24, 48, 32
+    mns, cols, ops_, scls, qts, camf = _mk(rngf, n=nf, w=wf, h=hf)
+    pf, vf = _params_from_scene(mns, cols, ops_, scls, qts, nf)
+    cfg_f = RasterConfig(
+        max_instances=4096, max_per_tile=256, chunk=128, backend="pallas"
+    )
+    h_pal = np.asarray(render_fisher(
+        pf, vf["active"], jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3), camf,
+        cfg_f, seed_value=_FSEED,
+    ))
+    h_ref = _oracle_fisher(pf, vf["active"], camf, nf)
+    fscale = np.abs(h_ref).max() + 1e-20
+    check("fisher(power=2)", h_pal / fscale, h_ref / fscale, 2e-3)
+
     if not ok:
         print("PARITY FAIL")
         sys.exit(1)
