@@ -71,11 +71,15 @@ def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Ar
     bw = jnp.asarray(_band_matrix(w, window_size, 1.5))
 
     def conv(x):
+        # HIGH (3-pass bf16 split, ~2^-22 relative) — the band matmuls are
+        # MXU-bound at SLAM resolution (~2.3 ms/iter incl. AD at HIGHEST's
+        # 6 passes); operands sit in [0, 1] so the split error is ~1e-7 on
+        # the SSIM value, well inside the 1e-5 torch-parity pin
         y = jnp.einsum(
-            "chw,wv->chv", x, bw, precision=jax.lax.Precision.HIGHEST
+            "chw,wv->chv", x, bw, precision=jax.lax.Precision.HIGH
         )
         return jnp.einsum(
-            "ih,chv->civ", bh, y, precision=jax.lax.Precision.HIGHEST
+            "ih,chv->civ", bh, y, precision=jax.lax.Precision.HIGH
         )
 
     mu1, mu2 = conv(img1), conv(img2)

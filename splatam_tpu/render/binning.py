@@ -456,8 +456,24 @@ def _expand_instances(
         ),
     )
     dropped = q_min > ghead
-    if depth_cap is not None:
-        tid0 = jnp.clip(ty * grid_x + tx, 0, num_tiles - 1)
+    tid0 = jnp.clip(ty * grid_x + tx, 0, num_tiles - 1)
+    rk_pre = None
+    if depth_cap is not None and tile_rank is not None:
+        # the SLAM/bench steady state: both per-tile lookups ride ONE
+        # (T, 2) row gather — 1-D element gathers land on a ~3x slower
+        # per-index path than row gathers (~6.6 vs ~2 ns/idx measured;
+        # ~11 -> ~2 ms per rebin at 860k instances). f32 cap bitcast to
+        # int32 for the shared table, back before use.
+        ttab = jnp.stack(
+            [_f(depth_cap), tile_rank.astype(jnp.int32)], axis=-1
+        )  # (T, 2) int32
+        trow = jnp.take(ttab, jax.lax.optimization_barrier(tid0), axis=0)
+        trow = jax.lax.optimization_barrier(trow)
+        cap = jax.lax.bitcast_convert_type(trow[:, 0], jnp.float32)
+        rk_pre = trow[:, 1]
+        depth_f = jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32)
+        dropped = dropped | (depth_f > cap * SAT_MARGIN)
+    elif depth_cap is not None:
         cap = jnp.take(depth_cap, jax.lax.optimization_barrier(tid0))
         cap = jax.lax.optimization_barrier(cap)
         depth_f = jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32)
@@ -470,10 +486,12 @@ def _expand_instances(
         # only the cross-tile stream order (render-exact for ANY rank array;
         # see alignment_order). Same barrier treatment as the depth_cap
         # lookup — keep the (T,)-table gather out of scalar-space fusions.
-        tid0 = jnp.clip(tile_id, 0, num_tiles - 1)
-        rk = jnp.take(tile_rank, jax.lax.optimization_barrier(tid0))
-        rk = jax.lax.optimization_barrier(rk)
-        tile_key = jnp.where(keep, rk, num_tiles)
+        if rk_pre is None:
+            rk_pre = jnp.take(
+                tile_rank, jax.lax.optimization_barrier(tid0)
+            )
+            rk_pre = jax.lax.optimization_barrier(rk_pre)
+        tile_key = jnp.where(keep, rk_pre, num_tiles)
     else:
         tile_key = tile_id
     total_kept = jnp.sum(keep.astype(jnp.int32))

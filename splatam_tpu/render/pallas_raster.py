@@ -81,12 +81,15 @@ FKEY_ROW = 16
 FROWS = 24
 
 
-def _triangular(chunk: int) -> jax.Array:
+def _triangular(chunk: int, strict: bool = False) -> jax.Array:
     """(chunk, chunk) upper-triangular ones (bf16-exact): x @ tri is an
-    inclusive cumsum of x along its last axis, computed on the MXU."""
+    inclusive cumsum of x along its last axis, computed on the MXU.
+    ``strict`` zeroes the diagonal -> EXCLUSIVE cumsum (the transmittance
+    scans use it to get t_before directly, saving the per-pair
+    ``incl - log1m`` subtract)."""
     i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    return (i <= j).astype(jnp.bfloat16)
+    return ((i < j) if strict else (i <= j)).astype(jnp.bfloat16)
 
 
 def _cumprod_roll(one_minus: jax.Array, chunk: int):
@@ -109,13 +112,12 @@ def _cumprod_roll(one_minus: jax.Array, chunk: int):
     return x, excl
 
 
-def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None, terms=3):
+def _chunk_transmittance(alpha, t_run, scan_impl, chunk, terms=3):
     """Per-chunk transmittance state shared by the fwd/bwd kernels.
 
     Returns (t_before, t_cum, live, new_t_run). 'mxu' evaluates the
     cumulative product in log space on the MXU (bf16-split cumsum with
-    ``terms`` mantissa terms — 3 for forward-output accuracy, 2 in the
-    backward where only gradients flow; one exp per pair); 'roll' evaluates
+    ``terms`` mantissa terms; one exp per pair); 'roll' evaluates
     it directly with lane-roll doubling (see _cumprod_roll). BOTH recover
     the live-masked carry as the minimum live t_cum: t_cum is monotone
     non-increasing along the chunk (exactly for 'roll'; to split-cumsum
@@ -124,13 +126,12 @@ def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None, terms=3):
     live factors — one select + lane-min instead of the where/sum/exp chain
     (a transcendental per pair saved on the mxu path).
 
-    ACCEPTED accuracy floor: the backward recomputes this recursion with
-    terms=2 while the forward used terms=3, so the live/saturation set
-    (t_cum >= T_STOP) can differ between primal and gradient for pairs
-    whose transmittance hovers within ~1e-5 of the threshold — the bwd then
-    differentiates a slightly different function (~1e-3-of-scale gradient
-    noise on hard-saturated scenes, inside the pinned parity tolerances;
-    key rows are emitted unconditionally so segment alignment is safe).
+    The fwd and bwd render kernels BOTH call this with terms=2 (~16
+    mantissa bits, worst-case |log T_STOP| * 2^-17 ~ 7e-5 relative
+    transmittance error, inside the pinned 1e-4 p99.9 fwd parity), so the
+    primal and the gradient differentiate the SAME recursion and the
+    live/saturation set (t_cum >= T_STOP) cannot diverge between them.
+    The fisher kernel keeps terms=3 (second moments square the error).
 
     The carry encodes pixel DEATH in its sign: alive pixels carry the
     live-masked transmittance (>= T_STOP by the carry invariant); once the
@@ -152,10 +153,13 @@ def _chunk_transmittance(alpha, t_run, scan_impl, chunk, tri=None, terms=3):
         # (256, 128) block vs ~20 for log (tools/vpu_probe.py), and the
         # subtraction is safe here — alpha <= 0.99 keeps 1-alpha >= 0.01,
         # so the pre-log rounding is <= 6e-6 in log space (the pinned
-        # fwd parity tolerance is 1e-4)
+        # fwd parity tolerance is 1e-4). STRICT triangular -> exclusive
+        # cumsum = t_before directly (no per-pair incl - log1m subtract;
+        # the passed ``tri`` is the caller's INCLUSIVE matrix for its own
+        # gradient cumsum and is not used here).
         log1m = jnp.log(1.0 - alpha)
-        incl = _cumsum_mxu(log1m, tri, terms)
-        t_before = t_run * jnp.exp(incl - log1m)
+        excl = _cumsum_mxu(log1m, _triangular(chunk, strict=True), terms)
+        t_before = t_run * jnp.exp(excl)
         t_cum = t_before * (1.0 - alpha)
     live = t_cum >= T_STOP
     m = jnp.min(jnp.where(live, t_cum, t_run), axis=1, keepdims=True)
@@ -171,11 +175,11 @@ def _cumsum_mxu(x: jax.Array, tri: jax.Array, terms: int = 3) -> jax.Array:
     matrix with f32 accumulation — 3 MXU passes where precision=HIGHEST
     would burn 6 (Mosaic does not support the 3-pass HIGH setting).
     DEFAULT (1-pass bf16) is NOT enough: ~8 mantissa bits => ~1%
-    transmittance error. The backward kernel uses terms=2 (~16 bits,
-    ~1e-5 relative) — only gradients flow through it, and pallas-vs-jnp
-    gradient parity is pinned at 5e-5 of scale. Verified by
-    tools/tpu_parity_check.py against the sequential-cumprod jnp oracle
-    on the real chip.
+    transmittance error. The render kernels use terms=2 (~16 bits,
+    ~1e-5 relative — inside the pinned fwd 1e-4-p99.9 and gradient
+    5e-5-of-scale pallas-vs-jnp parities); the fisher kernel keeps
+    terms=3. Verified by tools/tpu_parity_check.py against the
+    sequential-cumprod jnp oracle on the real chip.
     """
 
     def term(t):
@@ -188,7 +192,7 @@ def _cumsum_mxu(x: jax.Array, tri: jax.Array, terms: int = 3) -> jax.Array:
     x1 = x.astype(jnp.bfloat16)
     r1 = x - x1.astype(jnp.float32)
     x2 = r1.astype(jnp.bfloat16)
-    if terms == 2:
+    if terms == 2:  # render fwd+bwd (see _chunk_transmittance docstring)
         return term(x1) + term(x2)
     x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
     return (term(x1) + term(x2)) + term(x3)
@@ -414,17 +418,19 @@ def _meta(meta_ref, lim_ref, c):
 # ---------------------------------------------------------------------------
 
 
-def _seg_mask(send, chunk: int) -> jax.Array:
+def _seg_mask(send, chunk: int, strict: bool = False) -> jax.Array:
     """(chunk, chunk) bf16 SEGMENTED prefix mask: M[k, j] = 1 iff k
     contributes to column j's segment-local inclusive prefix sum — plain
     triangular for columns before the boundary, boundary-restarted after.
-    x @ M is a segmented cumsum on the MXU (exact 0/1 operand)."""
+    x @ M is a segmented cumsum on the MXU (exact 0/1 operand). ``strict``
+    zeroes the diagonal (segmented EXCLUSIVE cumsum — see _triangular)."""
     i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    return ((i <= j) & ((j < send) | (i >= send))).astype(jnp.bfloat16)
+    tri = (i < j) if strict else (i <= j)
+    return (tri & ((j < send) | (i >= send))).astype(jnp.bfloat16)
 
 
-def _chunk_transmittance_packed(alpha, t_run, send, chunk, seg, terms=3):
+def _chunk_transmittance_packed(alpha, t_run, send, chunk, terms=3):
     """Segmented per-chunk transmittance (packed layout, mxu scan only).
 
     Columns before ``send`` continue the stile's recursion from ``t_run``
@@ -437,9 +443,10 @@ def _chunk_transmittance_packed(alpha, t_run, send, chunk, seg, terms=3):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     cola = col < send
     log1m = jnp.log(1.0 - alpha)  # not log1p — see _chunk_transmittance
-    incl = _cumsum_mxu(log1m, seg, terms)
+    # strict segmented mask -> exclusive cumsum = t_before directly
+    excl = _cumsum_mxu(log1m, _seg_mask(send, chunk, strict=True), terms)
     base = jnp.where(cola, t_run, 1.0)
-    t_before = base * jnp.exp(incl - log1m)
+    t_before = base * jnp.exp(excl)
     t_cum = t_before * (1.0 - alpha)
     live = t_cum >= T_STOP
     big = jnp.float32(3.0e38)
@@ -574,8 +581,13 @@ def _fwd_kernel(
         )
         t_run = t_run_sc[:]
 
+        # terms=2 (~16 mantissa bits): worst-case transmittance error is
+        # |log T_STOP| * 2^-17 ~ 7e-5 relative, inside the pinned 1e-4
+        # p99.9 fwd parity — and it makes the fwd and bwd recursions
+        # IDENTICAL, so the live/saturation set (t_cum >= T_STOP) can no
+        # longer differ between primal and gradient
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, scan_impl, chunk, tri=_triangular(chunk)
+            alpha, t_run, scan_impl, chunk, terms=2
         )
 
         w = jnp.where(live, alpha * t_before, 0.0)
@@ -698,8 +710,9 @@ def _fwd_kernel_packed(
         alpha, _, _, _, _, _, _, _ = _chunk_alpha_mxu(
             blk, phi_ref[:], t, 0, lim, chunk, grid_x
         )
+        # terms=2 — see _fwd_kernel (same accuracy budget, fwd == bwd)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, "mxu", chunk, tri=_triangular(chunk)
+            alpha, t_run, "mxu", chunk, terms=2
         )
         w = jnp.where(live, alpha * t_before, 0.0)
         feats = blk[ROW_FEAT0:, :]
@@ -741,7 +754,7 @@ def _fwd_kernel_packed(
         )
         t_before, t_cum, live, state_a, state_b = (
             _chunk_transmittance_packed(
-                alpha, t_run, send, chunk, _seg_mask(send, chunk)
+                alpha, t_run, send, chunk, terms=2
             )
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -918,7 +931,7 @@ def _bwd_kernel(
         # pinned 5e-5-of-scale pallas-vs-jnp gradient parity
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, scan_impl, chunk, tri=tri, terms=2
+            alpha, t_run, scan_impl, chunk, terms=2
         )
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -931,12 +944,16 @@ def _bwd_kernel(
         )
         # suffix sums: S[p, j] = sum over every instance after j of w * gc
         wgc = w * gc
-        prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri, terms=2)
+        # suffix = (ga - accwgc) - cumsum: the per-tile constant and the
+        # cross-chunk accumulator combine in ONE (NPIX, 1) column op instead
+        # of a full-block add-then-subtract (one (NPIX, chunk) op saved)
+        rem = ga - accwgc_sc[:]
+        suffix = rem - _cumsum_mxu(wgc, tri, terms=2)
 
         # 1 - alpha >= 1 - ALPHA_CAP = 0.01 by the cap: no epsilon guard
         dalpha = jnp.where(
             live,
-            t_before * gc - (ga - prefix) / (1.0 - alpha),
+            t_before * gc - suffix / (1.0 - alpha),
             0.0,
         )
         # clamp gates: d alpha/d raw = 1 only below the 0.99 cap; `keep`
@@ -1130,7 +1147,7 @@ def _bwd_kernel_packed(
         )
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, "mxu", chunk, tri=tri, terms=2
+            alpha, t_run, "mxu", chunk, terms=2
         )
         w = jnp.where(live, alpha * t_before, 0.0)
         g_color = gcolor_a_ref[0]
@@ -1180,10 +1197,12 @@ def _bwd_kernel_packed(
         col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         cola = col < send
 
+        # seg (inclusive) feeds the wgc gradient cumsum below; the
+        # transmittance builds its own strict mask internally
         seg = _seg_mask(send, chunk)
         t_before, t_cum, live, state_a, state_b = (
             _chunk_transmittance_packed(
-                alpha, t_run, send, chunk, seg, terms=2
+                alpha, t_run, send, chunk, terms=2
             )
         )
         w = jnp.where(live, alpha * t_before, 0.0)
@@ -1191,7 +1210,6 @@ def _bwd_kernel_packed(
         g_color_a = gcolor_a_ref[0]  # (NFEAT_PAD, NPIX)
         g_color_b = gcolor_b_ref[0]
         ga_b = _colx(gadep_b_ref[0], 1)
-        ga = jnp.where(cola, ga_a_sc[:], ga_b)
 
         feats = blk[ROW_FEAT0:, :]
         gc_a = jax.lax.dot_general(
@@ -1206,15 +1224,16 @@ def _bwd_kernel_packed(
         )
         gc = jnp.where(cola, gc_a, gc_b)
         wgc = w * gc
-        # segmented prefix; the stile's cross-chunk accumulator applies to
-        # its columns only (the head tile starts fresh at zero)
-        prefix = jnp.where(cola, accwgc_sc[:], 0.0) + _cumsum_mxu(
-            wgc, seg, terms=2
-        )
+        # suffix = (ga - accwgc) - segmented cumsum; the stile's cross-chunk
+        # accumulator applies to its columns only (the head tile starts
+        # fresh), and both per-tile constants fold into the SAME where that
+        # already selected ga — see _bwd_kernel's one-op-saved note
+        rem = jnp.where(cola, ga_a_sc[:] - accwgc_sc[:], ga_b)
+        suffix = rem - _cumsum_mxu(wgc, seg, terms=2)
 
         dalpha = jnp.where(
             live,
-            t_before * gc - (ga - prefix) / (1.0 - alpha),
+            t_before * gc - suffix / (1.0 - alpha),
             0.0,
         )
         unclamped = keep & (raw < ALPHA_CAP)
@@ -1323,7 +1342,7 @@ def _fisher_kernel(
 
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, "mxu", chunk, tri=tri
+            alpha, t_run, "mxu", chunk
         )
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -1334,8 +1353,8 @@ def _fisher_kernel(
             preferred_element_type=jnp.float32,
         )
         wgc = w * gc
-        prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri)
-        suffix = gtot - prefix
+        # (gtot - accwgc) folds to one (NPIX, 1) column op — see _bwd_kernel
+        suffix = (gtot - accwgc_sc[:]) - _cumsum_mxu(wgc, tri)
 
         dalpha = jnp.where(
             live, t_before * gc - suffix / (1.0 - alpha), 0.0

@@ -30,14 +30,16 @@ def test_pallas_forward_matches_jnp(seed):
     ref, _ = rasterize_tiled(*args, cfg=CFG_JNP)
     out, aux = rasterize_tiled(*args, cfg=CFG_PAL)
     assert not bool(aux.overflow)
+    # tolerance = the terms=2 transmittance budget (worst case
+    # |log T_STOP| * 2^-17 ~ 7e-5 relative — _chunk_transmittance docstring)
     np.testing.assert_allclose(
-        np.asarray(out.color), np.asarray(ref.color), atol=1e-5, rtol=1e-5
+        np.asarray(out.color), np.asarray(ref.color), atol=1e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5
+        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-5
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-4
     )
 
 
@@ -55,8 +57,9 @@ def test_pallas_forward_multifeat():
     )
     ref, _ = rasterize_tiled(*args, cfg=CFG_JNP)
     out, _ = rasterize_tiled(*args, cfg=CFG_PAL)
+    # rtol = the terms=2 transmittance budget (see above)
     np.testing.assert_allclose(
-        np.asarray(out.color), np.asarray(ref.color), atol=1e-5, rtol=1e-5
+        np.asarray(out.color), np.asarray(ref.color), atol=1e-5, rtol=1e-4
     )
 
 
@@ -200,14 +203,16 @@ def test_saturation_depth_cap_trims_and_matches():
 
     out_trim, aux_trim = rasterize_tiled(*args, cfg=CFG_PAL, binned=binned_trim)
     assert not bool(aux_trim.overflow)
+    # rtol/atol = the terms=2 transmittance budget (~7e-5 relative worst
+    # case — _chunk_transmittance docstring)
     np.testing.assert_allclose(
-        np.asarray(out_trim.color), np.asarray(ref.color), atol=2e-5, rtol=1e-5
+        np.asarray(out_trim.color), np.asarray(ref.color), atol=2e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out_trim.depth), np.asarray(ref.depth), atol=1e-5
+        np.asarray(out_trim.depth), np.asarray(ref.depth), atol=1e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out_trim.final_t), np.asarray(ref.final_t), atol=1e-5
+        np.asarray(out_trim.final_t), np.asarray(ref.final_t), atol=1e-4
     )
 
     # gradients flow identically through the trimmed stream
@@ -297,8 +302,10 @@ def test_pallas_roll_scan_matches_mxu():
 
     ref, _ = rasterize_tiled(*args, cam, cfg=CFG_PAL)
     out, _ = rasterize_tiled(*args, cam, cfg=cfg_roll)
+    # roll is an exact cumprod; mxu carries the terms=2 split error (~7e-5
+    # relative worst case), so the cross-impl pin is the terms=2 budget
     np.testing.assert_allclose(
-        np.asarray(out.color), np.asarray(ref.color), atol=2e-5, rtol=1e-5
+        np.asarray(out.color), np.asarray(ref.color), atol=2e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
         np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5
