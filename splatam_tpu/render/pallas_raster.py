@@ -154,9 +154,7 @@ def _chunk_transmittance(alpha, t_run, scan_impl, chunk, terms=3):
         # subtraction is safe here — alpha <= 0.99 keeps 1-alpha >= 0.01,
         # so the pre-log rounding is <= 6e-6 in log space (the pinned
         # fwd parity tolerance is 1e-4). STRICT triangular -> exclusive
-        # cumsum = t_before directly (no per-pair incl - log1m subtract;
-        # the passed ``tri`` is the caller's INCLUSIVE matrix for its own
-        # gradient cumsum and is not used here).
+        # cumsum = t_before directly (no per-pair incl - log1m subtract).
         log1m = jnp.log(1.0 - alpha)
         excl = _cumsum_mxu(log1m, _triangular(chunk, strict=True), terms)
         t_before = t_run * jnp.exp(excl)

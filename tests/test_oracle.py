@@ -200,3 +200,226 @@ def test_gradients_match_finite_differences():
             np.testing.assert_allclose(g[i, j], fd, rtol=5e-3, atol=1e-6)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------------------------
+# Preprocess parity vs a literal numpy transliteration of the CUDA math
+# (`cuda_rasterizer/forward.cu:74-256` + `auxiliary.h:41-56,139-164`).
+# Every other parity test consumes render/geometry.py's own `preprocess`, so
+# a bug in the cov2D/conic/radius/rect math would be invisible to them; this
+# simulator re-derives those fields independently, following the glm
+# column-major conventions of the CUDA kernel step by step.
+# ---------------------------------------------------------------------------
+
+
+def _glm_mat3(*a):
+    """glm::mat3 constructor: consecutive triplets are COLUMNS."""
+    return np.array(a, np.float32).reshape(3, 3).T
+
+
+def _cuda_compute_cov3d(scale, mod, q):
+    """computeCov3D (`forward.cu:118-152`), glm semantics, f32."""
+    S = np.diag((mod * scale).astype(np.float32)).astype(np.float32)
+    r, x, y, z = q  # NOT normalized here: the kernel assumes unit quats
+    R = _glm_mat3(
+        1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+        2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+        2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+    )
+    M = (S @ R).astype(np.float32)
+    Sigma = (M.T @ M).astype(np.float32)
+    return np.array(
+        [Sigma[0, 0], Sigma[0, 1], Sigma[0, 2],
+         Sigma[1, 1], Sigma[1, 2], Sigma[2, 2]],
+        np.float32,
+    )
+
+
+def _cuda_compute_cov2d(mean, fx, fy, tanx, tany, cov3d, vm_flat):
+    """computeCov2D (`forward.cu:74-113`), glm semantics, f32.
+
+    ``vm_flat`` is the flat column-major viewmatrix exactly as the CUDA
+    kernel receives it (the reference passes w2c TRANSPOSED, so
+    vm_flat[col*4+row] = w2c[row][col])."""
+    f32 = np.float32
+    # transformPoint4x3 (`auxiliary.h:58-66`)
+    t = np.array(
+        [
+            vm_flat[0] * mean[0] + vm_flat[4] * mean[1] + vm_flat[8] * mean[2] + vm_flat[12],
+            vm_flat[1] * mean[0] + vm_flat[5] * mean[1] + vm_flat[9] * mean[2] + vm_flat[13],
+            vm_flat[2] * mean[0] + vm_flat[6] * mean[1] + vm_flat[10] * mean[2] + vm_flat[14],
+        ],
+        f32,
+    )
+    limx, limy = f32(1.3 * tanx), f32(1.3 * tany)
+    txtz, tytz = f32(t[0] / t[2]), f32(t[1] / t[2])
+    t[0] = min(limx, max(-limx, txtz)) * t[2]
+    t[1] = min(limy, max(-limy, tytz)) * t[2]
+    J = _glm_mat3(
+        fx / t[2], 0.0, -(fx * t[0]) / (t[2] * t[2]),
+        0.0, fy / t[2], -(fy * t[1]) / (t[2] * t[2]),
+        0, 0, 0,
+    )
+    W = _glm_mat3(
+        vm_flat[0], vm_flat[4], vm_flat[8],
+        vm_flat[1], vm_flat[5], vm_flat[9],
+        vm_flat[2], vm_flat[6], vm_flat[10],
+    )
+    T = (W @ J).astype(np.float32)
+    Vrk = np.array(
+        [
+            [cov3d[0], cov3d[1], cov3d[2]],
+            [cov3d[1], cov3d[3], cov3d[4]],
+            [cov3d[2], cov3d[4], cov3d[5]],
+        ],
+        np.float32,
+    )
+    cov = (T.T @ Vrk.T @ T).astype(np.float32)
+    # low-pass +0.3 on the diagonal, discard 3rd row/col. glm cov[i][j] is
+    # column i / row j; cov is symmetric so plain indexing is equivalent.
+    return np.array(
+        [cov[0, 0] + f32(0.3), cov[0, 1], cov[1, 1] + f32(0.3)], np.float32
+    )
+
+
+def _cuda_preprocess(means, scales, quats, cam, scale_mod=1.0):
+    """Literal per-gaussian preprocessCUDA (`forward.cu:156-256`), numpy f32.
+
+    Returns dicts of per-gaussian fields; radius/tiles stay 0 for every
+    early-return (the CUDA contract for culled gaussians)."""
+    n = means.shape[0]
+    w, h = cam.image_width, cam.image_height
+    grid_x = (w + TILE - 1) // TILE
+    grid_y = (h + TILE - 1) // TILE
+    # the reference hands CUDA the TRANSPOSED matrices (recon_helpers.py);
+    # flat row-major of the transpose == flat column-major of the matrix
+    vm_flat = np.asarray(cam.viewmatrix, np.float32).T.reshape(-1)
+    pm_flat = np.asarray(cam.projmatrix, np.float32).T.reshape(-1)
+    fx, fy = np.float32(cam.focal_x), np.float32(cam.focal_y)
+
+    out = {
+        "radius": np.zeros(n, np.int32),
+        "tiles": np.zeros(n, np.int32),
+        "depth": np.zeros(n, np.float32),
+        "mean2d": np.zeros((n, 2), np.float32),
+        "conic": np.zeros((n, 3), np.float32),
+        "rect_min": np.zeros((n, 2), np.int32),
+        "rect_max": np.zeros((n, 2), np.int32),
+        "valid": np.zeros(n, bool),
+    }
+    for i in range(n):
+        p = means[i].astype(np.float32)
+        # in_frustum (`auxiliary.h:139-164`)
+        pv_z = vm_flat[2] * p[0] + vm_flat[6] * p[1] + vm_flat[10] * p[2] + vm_flat[14]
+        if pv_z <= 0.001:
+            continue
+        # transformPoint4x4 + homogeneous divide (`forward.cu:197-200`)
+        hom = np.array(
+            [
+                pm_flat[0] * p[0] + pm_flat[4] * p[1] + pm_flat[8] * p[2] + pm_flat[12],
+                pm_flat[1] * p[0] + pm_flat[5] * p[1] + pm_flat[9] * p[2] + pm_flat[13],
+                pm_flat[2] * p[0] + pm_flat[6] * p[1] + pm_flat[10] * p[2] + pm_flat[14],
+                pm_flat[3] * p[0] + pm_flat[7] * p[1] + pm_flat[11] * p[2] + pm_flat[15],
+            ],
+            np.float32,
+        )
+        p_w = np.float32(1.0) / (hom[3] + np.float32(1e-7))
+        proj_xy = hom[:2] * p_w
+        cov3d = _cuda_compute_cov3d(scales[i], np.float32(scale_mod), quats[i])
+        cov = _cuda_compute_cov2d(
+            p, fx, fy, cam.tanfovx, cam.tanfovy, cov3d, vm_flat
+        )
+        det = cov[0] * cov[2] - cov[1] * cov[1]
+        if det == 0.0:
+            continue
+        det_inv = np.float32(1.0) / det
+        conic = np.array(
+            [cov[2] * det_inv, -cov[1] * det_inv, cov[0] * det_inv], np.float32
+        )
+        mid = np.float32(0.5) * (cov[0] + cov[2])
+        lam1 = mid + np.sqrt(np.maximum(np.float32(0.1), mid * mid - det))
+        lam2 = mid - np.sqrt(np.maximum(np.float32(0.1), mid * mid - det))
+        radius = np.ceil(np.float32(3.0) * np.sqrt(max(lam1, lam2)))
+        # ndc2Pix promotes through double literals (`auxiliary.h:41-44`)
+        px = np.float32(((float(proj_xy[0]) + 1.0) * w - 1.0) * 0.5)
+        py = np.float32(((float(proj_xy[1]) + 1.0) * h - 1.0) * 0.5)
+        # getRect (`auxiliary.h:46-56`): int max_radius, C truncation casts
+        r_int = int(radius)
+        rx0 = min(grid_x, max(0, int((px - r_int) / TILE)))
+        ry0 = min(grid_y, max(0, int((py - r_int) / TILE)))
+        rx1 = min(grid_x, max(0, int((px + r_int + TILE - 1) / TILE)))
+        ry1 = min(grid_y, max(0, int((py + r_int + TILE - 1) / TILE)))
+        if (rx1 - rx0) * (ry1 - ry0) == 0:
+            continue
+        out["valid"][i] = True
+        out["radius"][i] = np.int32(radius)
+        out["tiles"][i] = (ry1 - ry0) * (rx1 - rx0)
+        out["depth"][i] = pv_z
+        out["mean2d"][i] = (px, py)
+        out["conic"][i] = conic
+        out["rect_min"][i] = (rx0, ry0)
+        out["rect_max"][i] = (rx1, ry1)
+    return out
+
+
+@pytest.mark.parametrize("seed,pose", [(0, "identity"), (1, "rotated")])
+def test_preprocess_matches_cuda_transliteration(seed, pose):
+    """render/geometry.py::preprocess vs the independent CUDA-math simulator,
+    field by field (VERDICT r3 item 5: break the preprocess self-reference).
+    """
+    rng = np.random.default_rng(seed)
+    n = 300
+    # spread that exercises: behind-camera culls, fov-clamped outliers,
+    # anisotropic covs, edge-clamped rects
+    means = np.stack(
+        [
+            rng.uniform(-4.0, 4.0, n),
+            rng.uniform(-3.0, 3.0, n),
+            rng.uniform(-0.5, 6.0, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.0, -0.5, (n, 3))).astype(np.float32)
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    w, h = 96, 64
+    k = np.array([[80.0, 0, w / 2 - 3], [0, 75.0, h / 2 + 2], [0, 0, 1]])
+    if pose == "identity":
+        w2c = np.eye(4)
+    else:
+        th = 0.35
+        w2c = np.array(
+            [
+                [np.cos(th), 0, np.sin(th), 0.2],
+                [0, 1, 0, -0.1],
+                [-np.sin(th), 0, np.cos(th), 0.4],
+                [0, 0, 0, 1],
+            ]
+        )
+    cam = setup_camera(w, h, k, w2c)
+
+    proj = preprocess(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), cam)
+    ref = _cuda_preprocess(means, scales, quats, cam)
+
+    radius = np.asarray(proj.radius)
+    tiles = np.asarray(proj.tiles_touched)
+    # culled set must agree exactly (radius == 0 <=> CUDA early-return)
+    np.testing.assert_array_equal(radius > 0, ref["valid"])
+    v = ref["valid"]
+    assert v.sum() > 50, "scene degenerated — not a meaningful parity check"
+    assert (~v).sum() > 5, "no culled gaussians — cull rules not exercised"
+    # integer fields: exact
+    np.testing.assert_array_equal(radius[v], ref["radius"][v])
+    np.testing.assert_array_equal(tiles[v], ref["tiles"][v])
+    np.testing.assert_array_equal(np.asarray(proj.rect_min)[v], ref["rect_min"][v])
+    np.testing.assert_array_equal(np.asarray(proj.rect_max)[v], ref["rect_max"][v])
+    # float fields: f32 association noise only
+    np.testing.assert_allclose(
+        np.asarray(proj.depths)[v], ref["depth"][v], rtol=2e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(proj.means2d)[v], ref["mean2d"][v], rtol=1e-5, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(proj.conic)[v], ref["conic"][v], rtol=2e-4, atol=1e-6
+    )

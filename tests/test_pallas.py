@@ -38,8 +38,10 @@ def test_pallas_forward_matches_jnp(seed):
     np.testing.assert_allclose(
         np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5, rtol=1e-4
     )
+    # rtol + small atol so near-zero (saturated, ~T_STOP) transmittances
+    # stay meaningfully constrained (ADVICE r3)
     np.testing.assert_allclose(
-        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-4
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=2e-5, rtol=1e-4
     )
 
 
@@ -230,6 +232,81 @@ def test_saturation_depth_cap_trims_and_matches():
     for a, b in zip(g_full, g_trim):
         # grads reach O(100) on this opaque scene; window realignment after
         # the trim changes f32 chunk-cumsum association (~1e-5 relative)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        )
+
+
+def test_depth_cap_with_tile_rank_fused_lookup_matches():
+    """depth_cap AND tile_rank together take the fused (T, 2) bitcast/stack
+    row-gather branch (binning.py:461); it must agree exactly with the
+    separate-lookup paths in both counts and render/grads (ADVICE r3)."""
+    from splatam_tpu.render.binning import alignment_order, bin_gaussians_csr
+    from splatam_tpu.render.camera import setup_camera
+    from splatam_tpu.render.geometry import preprocess
+    from splatam_tpu.core.transforms import normalize
+
+    rng = np.random.default_rng(5)
+    n, w, h = 400, 64, 48
+    means = np.stack(
+        [
+            rng.uniform(-0.9, 0.9, n),
+            rng.uniform(-0.7, 0.7, n),
+            rng.uniform(0.5, 6.0, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacities = np.full(n, 0.95, np.float32)
+    scales = np.full((n, 3), 0.25, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    k = [[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]]
+    cam = setup_camera(w, h, k, np.eye(4))
+    args = (
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats), cam,
+    )
+    _, aux_full = rasterize_tiled(*args, cfg=CFG_PAL)
+    sat = aux_full.sat_depth
+    assert bool(jnp.isfinite(sat).any()), "no tile saturated — weak scene"
+
+    proj = preprocess(
+        jnp.asarray(means), jnp.asarray(scales),
+        normalize(jnp.asarray(quats)), cam,
+    )
+    binned_cap = bin_gaussians_csr(
+        proj, cam, CFG_PAL, opacities=jnp.asarray(opacities), depth_cap=sat
+    )
+    rank = alignment_order(binned_cap.counts, CFG_PAL.chunk)
+    binned_both = bin_gaussians_csr(
+        proj, cam, CFG_PAL, opacities=jnp.asarray(opacities), depth_cap=sat,
+        tile_rank=rank,
+    )
+    assert not bool(binned_both.overflow)
+    # the fused lookup must drop exactly the same instances
+    assert int(binned_both.num_instances) == int(binned_cap.num_instances)
+    np.testing.assert_array_equal(
+        np.asarray(binned_both.counts), np.asarray(binned_cap.counts)
+    )
+
+    out_cap, _ = rasterize_tiled(*args, cfg=CFG_PAL, binned=binned_cap)
+    out_both, _ = rasterize_tiled(*args, cfg=CFG_PAL, binned=binned_both)
+    np.testing.assert_allclose(
+        np.asarray(out_both.color), np.asarray(out_cap.color),
+        atol=2e-5, rtol=1e-4,
+    )
+
+    def grads(binned):
+        def f(ms, cols, ops):
+            o, _ = rasterize_tiled(
+                ms, cols, ops, args[3], args[4], cam, cfg=CFG_PAL,
+                binned=binned,
+            )
+            return jnp.sum(o.color**2) + jnp.sum(o.depth)
+        return jax.grad(f, argnums=(0, 1, 2))(args[0], args[1], args[2])
+
+    for a, b in zip(grads(binned_cap), grads(binned_both)):
+        # realignment changes chunk-cumsum association only (~1e-5 relative)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
         )

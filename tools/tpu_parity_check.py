@@ -198,6 +198,42 @@ def main():
     # mode, where dots are emulated in plain f32)
     check("fisher(power=2)", h_pal / fscale, h_ref / fscale, 2e-2)
 
+    # --- calc_ssim on-chip: the banded matmuls run at Precision.HIGH
+    # (3-pass bf16 split) — CPU tests can't validate that (XLA:CPU ignores
+    # precision settings), so pin the compiled-TPU SSIM against a float64
+    # numpy evaluation of the same banded-matrix math (ADVICE r3) ---
+    from splatam_tpu.core.losses import _band_matrix, calc_ssim
+
+    rngs = np.random.default_rng(7)
+    hs, ws = 191, 253  # non-128-multiples: exercise edge bands + padding
+    im1 = rngs.uniform(0, 1, (3, hs, ws)).astype(np.float32)
+    im2 = np.clip(im1 + rngs.normal(0, 0.08, im1.shape), 0, 1).astype(
+        np.float32
+    )
+    ssim_tpu = float(jax.jit(calc_ssim)(jnp.asarray(im1), jnp.asarray(im2)))
+
+    bh = _band_matrix(hs, 11, 1.5).astype(np.float64)
+    bw = _band_matrix(ws, 11, 1.5).astype(np.float64)
+
+    def conv64(x):
+        return np.einsum("ih,chw,wv->civ", bh, x.astype(np.float64), bw)
+
+    mu1, mu2 = conv64(im1), conv64(im2)
+    s1 = conv64(im1 * im1) - mu1 * mu1
+    s2 = conv64(im2 * im2) - mu2 * mu2
+    s12 = conv64(im1 * im2) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_ref = float(
+        (
+            (2 * mu1 * mu2 + c1) * (2 * s12 + c2)
+            / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        ).mean()
+    )
+    derr = abs(ssim_tpu - ssim_ref)
+    good = derr < 1e-5  # the torch-parity pin the HIGH split must stay inside
+    print(f"{'calc_ssim(HIGH)':<24} abs_err={derr:.3e} {'OK' if good else 'FAIL'}")
+    ok &= good
+
     if not ok:
         print("PARITY FAIL")
         sys.exit(1)
