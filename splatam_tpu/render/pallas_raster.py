@@ -191,6 +191,10 @@ def _cumsum_mxu(x: jax.Array, tri: jax.Array, terms: int = 3) -> jax.Array:
     r1 = x - x1.astype(jnp.float32)
     x2 = r1.astype(jnp.bfloat16)
     if terms == 2:  # render fwd+bwd (see _chunk_transmittance docstring)
+        # NOT one batched (512, chunk) dot: the isolated probe says batching
+        # wins (tools/step_overhead.py mxu512 179 ns vs mxu2dep 253 ns), but
+        # in the real kernel the concat materializes both bf16 terms into a
+        # fresh buffer and the bench REGRESSED 25.7 -> 24.5 Mpix/s (r4).
         return term(x1) + term(x2)
     x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
     return (term(x1) + term(x2)) + term(x3)

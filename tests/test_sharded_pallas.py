@@ -81,3 +81,172 @@ def test_batched_map_size_harness():
     assert stats["fits_v5e_16gb"]
     import numpy as np
     assert np.isfinite(stats["loss"])
+
+
+def test_band_partition_balances_concentrated_scene():
+    """band_partition must beat equal bands on a scene whose content is
+    concentrated in a few tile rows (the MULTICHIP_r03 1.643-imbalance
+    failure mode), and zero-load rows must not strand devices."""
+    from splatam_tpu.parallel.pallas_sharded import (
+        band_partition,
+        row_loads_from_counts,
+    )
+
+    # 12 tile rows (the dryrun scene's grid_y), load concentrated mid-rows
+    loads = np.array([0, 0, 5, 40, 90, 120, 110, 80, 30, 5, 0, 0])
+    b = band_partition(loads, 8)
+    assert b[0] == 0 and b[-1] == 12
+    assert np.all(np.diff(b) >= 0)
+    band_loads = np.array([loads[b[d]:b[d + 1]].sum() for d in range(8)])
+    mean = loads.sum() / 8
+    imb = band_loads.max() / mean
+    # equal 2-row bands give max=230 -> imb 3.83; the DP must do far better
+    assert imb <= 2.01, (imb, band_loads)
+    # helper shape contract
+    counts = np.repeat(loads, 5)  # grid_x = 5
+    np.testing.assert_array_equal(row_loads_from_counts(counts, 5), 5 * loads)
+
+
+def test_sharded_balanced_bands_match_single(mesh):
+    """Forward + grads through load-balanced (variable-height) bands must
+    match the single-device render exactly, including the constant-gather
+    row reassembly."""
+    from splatam_tpu.core.transforms import normalize
+    from splatam_tpu.parallel.pallas_sharded import (
+        band_partition,
+        row_loads_from_counts,
+    )
+    from splatam_tpu.render.binning import bin_gaussians_csr
+    from splatam_tpu.render.geometry import preprocess
+
+    rng = np.random.default_rng(2)
+    # content concentrated in the image's upper third -> unequal row loads
+    n, w, h = 120, 128, 144
+    means = np.stack(
+        [
+            rng.uniform(-0.6, 0.6, n),
+            rng.uniform(-0.8, -0.2, n),
+            rng.uniform(0.8, 4.0, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacities = (1 / (1 + np.exp(-rng.uniform(-2, 3, n)))).astype(np.float32)
+    scales = np.exp(rng.uniform(-3.0, -1.5, (n, 3))).astype(np.float32)
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    from splatam_tpu.render.camera import setup_camera
+
+    k = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]])
+    cam = setup_camera(w, h, k, np.eye(4))
+    args = (
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats),
+    )
+
+    proj = preprocess(args[0], args[3], normalize(args[4]), cam)
+    binned = bin_gaussians_csr(proj, cam, CFG, opacities=args[2])
+    grid_x = (w + 15) // 16
+    loads = row_loads_from_counts(np.asarray(binned.counts), grid_x)
+    assert (loads == 0).sum() >= 2, "scene not concentrated enough"
+    bands = band_partition(loads, 8)
+    assert np.any(np.diff(bands) != np.diff(bands)[0]), "bands degenerate"
+
+    ref, _ = rasterize_tiled(*args, cam, cfg=CFG)
+    out, aux = rasterize_rows_sharded(
+        *args, cam, CFG, mesh, axis_name="tiles", band_starts=bands
+    )
+    assert not bool(aux.overflow)
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.asarray(ref.color), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-5
+    )
+
+    cot = jnp.asarray(rng.normal(size=(3, h, w)).astype(np.float32))
+
+    def loss_single(m, c, o):
+        o_, _ = rasterize_tiled(m, c, o, args[3], args[4], cam, cfg=CFG)
+        return jnp.sum(o_.color * cot) + jnp.sum(o_.final_t)
+
+    def loss_sharded(m, c, o):
+        o_, _ = rasterize_rows_sharded(
+            m, c, o, args[3], args[4], cam, CFG, mesh, band_starts=bands
+        )
+        return jnp.sum(o_.color * cot) + jnp.sum(o_.final_t)
+
+    g_ref = jax.grad(loss_single, argnums=(0, 1, 2))(args[0], args[1], args[2])
+    g_sh = jax.grad(loss_sharded, argnums=(0, 1, 2))(args[0], args[1], args[2])
+    for gr, gs, name in zip(g_ref, g_sh, ["means", "colors", "opac"]):
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(gs) / scale, np.asarray(gr) / scale, atol=2e-5,
+            err_msg=name,
+        )
+
+
+def test_sharded_2d_grid_matches_single():
+    """2-D (row x col) tile-grid sharding with grid_partition boundaries
+    must match the single-device render and gradients."""
+    from jax.sharding import Mesh
+    from splatam_tpu.core.transforms import normalize
+    from splatam_tpu.parallel.pallas_sharded import grid_partition
+    from splatam_tpu.render.binning import bin_gaussians_csr
+    from splatam_tpu.render.geometry import preprocess
+
+    rng = np.random.default_rng(4)
+    means, colors, opacities, scales, quats, cam = make_scene(
+        rng, n=110, w=144, h=96
+    )
+    args = (
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats),
+    )
+    proj = preprocess(args[0], args[3], normalize(args[4]), cam)
+    binned = bin_gaussians_csr(proj, cam, CFG, opacities=args[2])
+    grid_x = (cam.image_width + 15) // 16
+    rb, cb, cells = grid_partition(np.asarray(binned.counts), grid_x, 8)
+    assert cells.shape[0] * cells.shape[1] == 8
+    mesh2d = Mesh(
+        np.array(jax.devices()[:8]).reshape(cells.shape), ("ty", "tx")
+    )
+
+    ref, _ = rasterize_tiled(*args, cam, cfg=CFG)
+    out, aux = rasterize_rows_sharded(
+        *args, cam, CFG, mesh2d, axis_name="ty", band_starts=rb,
+        col_starts=cb, axis_name_x="tx",
+    )
+    assert not bool(aux.overflow)
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.asarray(ref.color), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-5
+    )
+
+    cot = jnp.asarray(
+        rng.normal(size=(3, cam.image_height, cam.image_width)).astype(
+            np.float32
+        )
+    )
+
+    def loss_single(m, c, o):
+        o_, _ = rasterize_tiled(m, c, o, args[3], args[4], cam, cfg=CFG)
+        return jnp.sum(o_.color * cot)
+
+    def loss_sharded(m, c, o):
+        o_, _ = rasterize_rows_sharded(
+            m, c, o, args[3], args[4], cam, CFG, mesh2d, axis_name="ty",
+            band_starts=rb, col_starts=cb, axis_name_x="tx",
+        )
+        return jnp.sum(o_.color * cot)
+
+    g_ref = jax.grad(loss_single, argnums=(0, 1, 2))(args[0], args[1], args[2])
+    g_sh = jax.grad(loss_sharded, argnums=(0, 1, 2))(args[0], args[1], args[2])
+    for gr, gs, name in zip(g_ref, g_sh, ["means", "colors", "opac"]):
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(gs) / scale, np.asarray(gr) / scale, atol=2e-5,
+            err_msg=name,
+        )

@@ -61,14 +61,40 @@ def main():
                 acc_ref[:] = jnp.zeros((NPIX, chunk), jnp.float32)
                 out_ref[:] = jnp.zeros((NPIX, chunk), jnp.float32)
 
+            def bcast(row0):
+                return jnp.broadcast_to(inst_ref[row0 : row0 + 1, :], (NPIX, chunk))
+
+            tri32 = None
+            if body_kind != "empty":
+                tri32 = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
             if body_kind == "passthru":
-                acc_ref[:] += jnp.broadcast_to(inst_ref[0:1, :], (NPIX, chunk))
+                acc_ref[:] += bcast(0)
             elif body_kind == "mxu":
-                a = jnp.broadcast_to(inst_ref[0:1, :], (NPIX, chunk))
-                tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
                 acc_ref[:] += jax.lax.dot(
-                    a, tri, precision=jax.lax.Precision.DEFAULT
+                    bcast(0), tri32, precision=jax.lax.Precision.DEFAULT
                 )
+            elif body_kind == "mxu2dep":
+                # two DEPENDENT dots (the terms=2 cumsum shape today)
+                y = jax.lax.dot(
+                    bcast(0), tri32, precision=jax.lax.Precision.DEFAULT
+                )
+                acc_ref[:] += jax.lax.dot(
+                    y * 1e-3, tri32, precision=jax.lax.Precision.DEFAULT
+                )
+            elif body_kind == "mxu2ind":
+                # two INDEPENDENT dots (tile A + tile B of a dual step)
+                acc_ref[:] += jax.lax.dot(
+                    bcast(0), tri32, precision=jax.lax.Precision.DEFAULT
+                ) + jax.lax.dot(
+                    bcast(1), tri32, precision=jax.lax.Precision.DEFAULT
+                )
+            elif body_kind == "mxu512":
+                # ONE batched (512, chunk) dot = the merged two-term cumsum
+                a = jnp.concatenate([bcast(0), bcast(1)], axis=0)
+                y = jax.lax.dot(
+                    a, tri32, precision=jax.lax.Precision.DEFAULT
+                )
+                acc_ref[:] += y[:NPIX, :] + y[NPIX:, :]
 
             @pl.when(c == pl.num_programs(0) - 1)
             def _():
@@ -89,7 +115,7 @@ def main():
             interpret=interpret,
         )
 
-    for kind in ("empty", "passthru", "mxu"):
+    for kind in ("empty", "passthru", "mxu", "mxu2dep", "mxu2ind", "mxu512"):
         call = make_pf(kind)
 
         @jax.jit
