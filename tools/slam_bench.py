@@ -34,7 +34,7 @@ def make_config(args) -> dict:
         seed=0,
         map_every=1,
         keyframe_every=5,
-        mapping_window_size=24,
+        mapping_window_size=32 if args.splatam_s else 24,
         report_global_progress_every=10_000,
         eval_every=0,
         scene_radius_depth_ratio=3,
@@ -49,12 +49,13 @@ def make_config(args) -> dict:
             max_instances=args.max_instances,
             max_per_tile=1024,
             chunk=128,
-            backend="pallas",
+            backend=args.backend,
             layout=args.layout,
         ),
         tracking=dict(
             use_gt_poses=False,
             forward_prop=True,
+            fixed_binning=args.splatam_s,  # splatam_s.py: bin once/frame
             num_iters=args.track_iters,
             use_sil_for_loss=True,
             sil_thres=0.99,
@@ -102,6 +103,15 @@ def main():
     ap.add_argument("--map_iters", type=int, default=60)
     ap.add_argument("--layout", default="aligned",
                     choices=["aligned", "packed"])
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "jnp"],
+                    help="jnp = fast CPU smoke of the driver plumbing")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force XLA:CPU (the container's sitecustomize pins "
+                         "the TPU platform; env vars alone don't override it)")
+    ap.add_argument("--splatam_s", action="store_true",
+                    help="SplaTAM-S realtime settings (configs/replica/"
+                         "splatam_s.py:14-16,54-57): track 10 / map 15 / "
+                         "window 32, densification at half resolution")
     ap.add_argument("--max_instances", type=int, default=2**20,
                     help="pre-cull instance capacity (shrink for CPU smokes)")
     ap.add_argument("--json", default=None, help="write results here")
@@ -110,11 +120,19 @@ def main():
                          "device-op table (host-overhead hunt)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
 
     from splatam_tpu.core.params import num_active
     from splatam_tpu.data.synthetic import SyntheticDataset
     from splatam_tpu.slam.pipeline import rgbd_slam
+
+    if args.splatam_s:
+        args.track_iters, args.map_iters = 10, 15
 
     print(f"backend={__import__('jax').default_backend()} "
           f"{args.width}x{args.height} frames={args.frames} "
@@ -123,6 +141,14 @@ def main():
     ds = SyntheticDataset(
         num_frames=args.frames, width=args.width, height=args.height, seed=0
     )
+    densify_ds = None
+    if args.splatam_s:
+        # half-res view of the SAME world (the scene/gaussians depend only
+        # on the seed, not the render resolution)
+        densify_ds = SyntheticDataset(
+            num_frames=args.frames, width=args.width // 2,
+            height=args.height // 2, seed=0,
+        )
     cb = None
     logdir = None
     if args.profile_last:
@@ -138,7 +164,7 @@ def main():
 
     t0 = time.time()
     state = rgbd_slam(make_config(args), dataset=ds, progress=True,
-                      frame_callback=cb)
+                      frame_callback=cb, densify_dataset=densify_ds)
     total = time.time() - t0
     if args.profile_last:
         import jax
@@ -178,6 +204,7 @@ def main():
         "track_iters": args.track_iters,
         "map_iters": args.map_iters,
         "layout": args.layout,
+        "splatam_s": bool(args.splatam_s),
     }
     print(json.dumps(res))
     if args.json:
