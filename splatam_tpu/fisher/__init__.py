@@ -1,15 +1,21 @@
 from splatam_tpu.fisher.fisher import (
     eig_score,
+    fisher_h_train,
     h_train_inverse,
     nonlinear_gain,
     render_fisher,
+    render_gains,
     silhouette_gain,
+    sized_fisher_config,
 )
 
 __all__ = [
     "eig_score",
+    "fisher_h_train",
     "h_train_inverse",
     "nonlinear_gain",
     "render_fisher",
+    "render_gains",
     "silhouette_gain",
+    "sized_fisher_config",
 ]

@@ -21,6 +21,7 @@ is closed here as diag(J^T M J) with J the per-gaussian projection Jacobian
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Sequence
 
 import jax
@@ -28,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from splatam_tpu.core.transforms import normalize, transform_to_frame
-from splatam_tpu.render.binning import RasterConfig, bin_gaussians_csr
+from splatam_tpu.render.binning import (
+    RasterConfig,
+    bin_gaussians_csr,
+    sized_config,
+)
 from splatam_tpu.render.camera import Camera
 from splatam_tpu.render.geometry import TILE, compute_cov3d, preprocess
 from splatam_tpu.render.pallas_raster import (
@@ -41,64 +46,8 @@ from splatam_tpu.render.pallas_raster import (
 _TRI_PAIRS = [(a, b) for a in range(5) for b in range(a, 5)]
 
 
-def _screen_quantities(mean3d, cov3d, cam: Camera):
-    """mean3D -> (x_pix, y_pix, conic_a, conic_b, conic_c) for one gaussian.
-
-    Mirrors the preprocess math (geometry.py) for a single point so jacfwd
-    gives the exact per-gaussian projection Jacobian.
-    """
-    p_hom = cam.projmatrix[:3, :3] @ mean3d + cam.projmatrix[:3, 3]
-    wclip = cam.projmatrix[3, :3] @ mean3d + cam.projmatrix[3, 3]
-    p_w = 1.0 / (wclip + 1e-7)
-    x = ((p_hom[0] * p_w + 1.0) * cam.image_width - 1.0) * 0.5
-    y = ((p_hom[1] * p_w + 1.0) * cam.image_height - 1.0) * 0.5
-
-    W = cam.viewmatrix[:3, :3]
-    t = W @ mean3d + cam.viewmatrix[:3, 3]
-    tz = t[2]
-    limx, limy = 1.3 * cam.tanfovx, 1.3 * cam.tanfovy
-    tx = jnp.clip(t[0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[1] / tz, -limy, limy) * tz
-    fx, fy = cam.focal_x, cam.focal_y
-    inv_tz = 1.0 / tz
-    inv_tz2 = inv_tz * inv_tz
-    J = jnp.array(
-        [
-            [fx * inv_tz, 0.0, -fx * tx * inv_tz2],
-            [0.0, fy * inv_tz, -fy * ty * inv_tz2],
-        ]
-    )
-    sig = jnp.array(
-        [
-            [cov3d[0], cov3d[1], cov3d[2]],
-            [cov3d[1], cov3d[3], cov3d[4]],
-            [cov3d[2], cov3d[4], cov3d[5]],
-        ]
-    )
-    V = W @ sig @ W.T
-    cov2d = J @ V @ J.T
-    cxx, cxy, cyy = cov2d[0, 0] + 0.3, cov2d[0, 1], cov2d[1, 1] + 0.3
-    det = cxx * cyy - cxy * cxy
-    det_inv = 1.0 / det
-    return jnp.stack([x, y, cyy * det_inv, -cxy * det_inv, cxx * det_inv])
-
-
-def render_fisher(
-    params: Dict[str, jax.Array],
-    active: jax.Array,
-    cam_rot: jax.Array,
-    cam_tran: jax.Array,
-    cam: Camera,
-    cfg: RasterConfig,
-    seed_value: float = 1e-3,
-) -> jax.Array:
-    """Diagonal Fisher H = [F(means3D) || F(opacity)] per gaussian, (N, 4).
-
-    `compute_Hessian` parity (`ros_handler.py:839-902`): the RGB render is
-    seeded with `seed_value` * ones; per-pixel parameter gradients are
-    squared before accumulation (the whole point of the fused power=2 CUDA
-    backward, SURVEY.md §7 hard-part #7).
-    """
+def _gaussian_frame(params: Dict[str, jax.Array], cam_rot, cam_tran):
+    """Camera-frame gaussians (pts, rots, scales, opacities) from raw params."""
     iso = params["log_scales"].shape[1] == 1
     log_scales = (
         jnp.tile(params["log_scales"], (1, 3)) if iso else params["log_scales"]
@@ -112,21 +61,76 @@ def render_fisher(
         gaussians_grad=False,
         camera_grad=False,
     )
-    rots = normalize(rots)
-    scales = jnp.exp(log_scales)
-    opac = jax.nn.sigmoid(params["logit_opacities"]).reshape(-1)
+    return pts, normalize(rots), jnp.exp(log_scales), jax.nn.sigmoid(
+        params["logit_opacities"]
+    ).reshape(-1)
+
+
+def _projection_jacobian(pts, cov3d, cam: Camera, active):
+    """(N, 5, 3) d(x, y, conic_a, conic_b, conic_c)/d(mean3d), per gaussian.
+
+    Three jvp tangent passes through the BATCHED `preprocess` (elementwise
+    math), replacing the round-3 `vmap(jacfwd)` over per-gaussian (3, 3)
+    matmuls — batched tiny dot_generals tile terribly on TPU (CLAUDE.md),
+    and the jvp-of-elementwise form is a handful of fused (N,) ops. cov3d is
+    held fixed: it does not depend on the mean, so this is the exact same
+    Jacobian the per-point closure computed.
+    """
+
+    def quantities(p):
+        pr = preprocess(p, None, None, cam, active=active, cov3d_precomp=cov3d)
+        return jnp.concatenate([pr.means2d, pr.conic], axis=1)  # (N, 5)
+
+    _, lin = jax.linearize(quantities, pts)
+    basis = jnp.eye(3, dtype=pts.dtype)
+    return jnp.stack(
+        [lin(jnp.broadcast_to(basis[d], pts.shape)) for d in range(3)], axis=2
+    )
+
+
+def fisher_config(cfg: RasterConfig) -> RasterConfig:
+    """The layout render_fisher actually bins with.
+
+    Always aligned windows: the fisher path bins per candidate pose, so the
+    packed layout's step savings never amortize over a frozen rebin here.
+    """
+    return (
+        dataclasses.replace(cfg, layout="aligned")
+        if cfg.layout != "aligned" else cfg
+    )
+
+
+def render_fisher(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    cam_rot: jax.Array,
+    cam_tran: jax.Array,
+    cam: Camera,
+    cfg: RasterConfig,
+    seed_value: float = 1e-3,
+    binned=None,
+    with_overflow: bool = False,
+):
+    """Diagonal Fisher H = [F(means3D) || F(opacity)] per gaussian, (N, 4).
+
+    `compute_Hessian` parity (`ros_handler.py:839-902`): the RGB render is
+    seeded with `seed_value` * ones; per-pixel parameter gradients are
+    squared before accumulation (the whole point of the fused power=2 CUDA
+    backward, SURVEY.md §7 hard-part #7).
+
+    ``binned`` lets a caller share one binning between this and a same-pose
+    silhouette render (realtime/handler.py). ``with_overflow=True`` returns
+    ``(h, overflow)`` so callers running at snug `sized_fisher_config`
+    capacities can detect truncation and retry bigger.
+    """
+    pts, rots, scales, opac = _gaussian_frame(params, cam_rot, cam_tran)
     colors = params["rgb_colors"]
 
-    proj = preprocess(pts, scales, rots, cam, active=active)
-    # the fisher kernel runs on the aligned-window layout regardless of the
-    # caller's production layout (it bins per candidate pose itself, so the
-    # packed layout's step savings don't compound with a frozen rebin here)
-    import dataclasses as _dc
-
-    cfg_fisher = (
-        _dc.replace(cfg, layout="aligned") if cfg.layout != "aligned" else cfg
-    )
-    binned = bin_gaussians_csr(proj, cam, cfg_fisher, opacities=opac)
+    cov3d = compute_cov3d(scales, rots, cam.scale_modifier)
+    proj = preprocess(pts, None, None, cam, active=active, cov3d_precomp=cov3d)
+    cfg_fisher = fisher_config(cfg)
+    if binned is None:
+        binned = bin_gaussians_csr(proj, cam, cfg_fisher, opacities=opac)
     attrs = pack_attrs(proj.means2d, proj.conic, opac, proj.depths, colors)
 
     grid_x = (cam.image_width + TILE - 1) // TILE
@@ -136,24 +140,134 @@ def render_fisher(
         attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, seed
     )  # (N, 16)
 
-    # close the chain to 3D means: F_d = (J^T M J)_dd per gaussian
-    cov3d = compute_cov3d(scales, rots)
-    jac = jax.vmap(
-        lambda m, c: jax.jacfwd(_screen_quantities)(m, c, cam)
-    )(pts, cov3d)  # (N, 5, 3)
-
-    M = jnp.zeros((pts.shape[0], 5, 5), jnp.float32)
+    # close the chain to 3D means: F_d = (J^T M J)_dd per gaussian, folded
+    # as sum_{a<=b} (2 - [a==b]) M_ab jac_a_d jac_b_d — 15 fused (N, 3)
+    # multiply-adds, no (N, 5, 5) intermediate and no batched einsum
+    jac = _projection_jacobian(pts, cov3d, cam, active)  # (N, 5, 3)
+    f_mean = jnp.zeros((pts.shape[0], 3), jnp.float32)
     for row, (a, b) in enumerate(_TRI_PAIRS):
-        M = M.at[:, a, b].set(mom[:, row])
-        if a != b:
-            M = M.at[:, b, a].set(mom[:, row])
-    f_mean = jnp.einsum(
-        "nad,nab,nbe->nde", jac, M, jac, precision=jax.lax.Precision.HIGHEST
-    )
-    f_mean = jnp.diagonal(f_mean, axis1=1, axis2=2)  # (N, 3)
+        w = mom[:, row] if a == b else 2.0 * mom[:, row]
+        f_mean = f_mean + w[:, None] * jac[:, a, :] * jac[:, b, :]
     f_op = mom[:, 15:16]  # (N, 1)
     h = jnp.concatenate([f_mean, f_op], axis=-1)
-    return jnp.where(active[:, None], h, 0.0)
+    h = jnp.where(active[:, None], h, 0.0)
+    if with_overflow:
+        return h, binned.overflow
+    return h
+
+
+def sized_fisher_config(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    cam_rot: jax.Array,
+    cam_tran: jax.Array,
+    cam: Camera,
+    base: RasterConfig,
+    margin: float = 1.6,
+) -> RasterConfig:
+    """Snug per-pose Fisher capacities from an eager probe binning.
+
+    The safe `max_instances`-derived shapes size the kernel grid, stream
+    gather and moment reduction at the worst case — ~2x device time at SLAM
+    scale (PROFILE.md). One probe at a representative pose + a generous
+    margin (candidate poses see different instance counts) buys that back;
+    `render_fisher(with_overflow=True)` still catches a pose that outgrows
+    the margin, so callers can double and re-jit (handler overflow retry).
+    """
+    base = fisher_config(base)
+    pts, rots, scales, opac = _gaussian_frame(params, cam_rot, cam_tran)
+    proj = preprocess(pts, scales, rots, cam, active=active)
+    total = int(jnp.sum(proj.tiles_touched))
+    binned = bin_gaussians_csr(proj, cam, base, opacities=opac)
+    return sized_config(
+        total,
+        base,
+        margin=margin,
+        num_kept=int(binned.num_instances),
+        chunks_used=int(binned.padded_total) // base.chunk,
+    )
+
+
+def fisher_h_train(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    rots: jax.Array,  # (P, 4) w2c rotations as quaternions
+    trans: jax.Array,  # (P, 3)
+    weights: jax.Array,  # (P,) f32 0/1 — padded slots carry weight 0
+    cam: Camera,
+    cfg: RasterConfig,
+    seed_value: float = 1e-3,
+):
+    """sum_i weights[i] * Fisher(pose_i) in ONE compiled program.
+
+    `compute_H_visited_inv`'s Monte-Carlo sum (`ros_handler.py:807-829`)
+    as a device-side lax.scan: the round-3 host loop paid one dispatch +
+    fetch per pose (~35 ms tunnel each); this pays one. P is padded to a
+    fixed cap (the monte_carlo setting) so the program compiles once, not
+    once per visited-pose count. Returns (h_train, overflow) — overflow
+    only counts weighted poses.
+    """
+
+    def body(carry, rt):
+        h_acc, over_acc = carry
+        r, t, wgt = rt
+        h, over = render_fisher(
+            params, active, r, t, cam, cfg,
+            seed_value=seed_value, with_overflow=True,
+        )
+        return (h_acc + wgt * h, over_acc | (over & (wgt > 0))), None
+
+    n = params["means3D"].shape[0]
+    init = (jnp.zeros((n, 4), jnp.float32), jnp.zeros((), bool))
+    (h_train, over), _ = jax.lax.scan(body, init, (rots, trans, weights))
+    return h_train, over
+
+
+def render_gains(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    cam_rot: jax.Array,
+    cam_tran: jax.Array,
+    cam: Camera,
+    cfg: RasterConfig,
+    h_train_inv: jax.Array | None = None,
+    seed_value: float = 1e-3,
+):
+    """One candidate pose -> (g_sil_raw, g_eig_raw, overflow), one program.
+
+    Fuses the per-candidate work of `send_gains` (`ros_handler.py:251-359`):
+    the silhouette render (`ros_handler.py:299-311`) and, when
+    ``h_train_inv`` is given, the Fisher render + EIG dot
+    (`ros_handler.py:832-836`) — sharing ONE binning between the two
+    renders and fetching three scalars instead of a full silhouette image
+    plus an (N, 4) Hessian per candidate (~35 ms/dispatch tunnel tax each,
+    tools/fisher_bench.py).
+    """
+    from splatam_tpu.core.losses import render_for_loss
+
+    cfg_fisher = fisher_config(cfg)
+    pts, rots, scales, opac = _gaussian_frame(params, cam_rot, cam_tran)
+    proj = preprocess(pts, scales, rots, cam, active=active)
+    binned = bin_gaussians_csr(proj, cam, cfg_fisher, opacities=opac)
+
+    out, aux = render_for_loss(
+        params, active, cam_rot, cam_tran, cam, cfg_fisher,
+        gaussians_grad=False, camera_grad=False, binned=binned,
+    )
+    sil = out.color[4]
+    g_sil = jnp.sum(sil < 0.5) / (cam.image_width * cam.image_height)
+    overflow = binned.overflow | aux.overflow
+
+    if h_train_inv is None:
+        g_eig = jnp.zeros((), jnp.float32)
+    else:
+        h, over_f = render_fisher(
+            params, active, cam_rot, cam_tran, cam, cfg,
+            seed_value=seed_value, binned=binned, with_overflow=True,
+        )
+        g_eig = jnp.sum(h * h_train_inv)
+        overflow = overflow | over_f
+    return g_sil.astype(jnp.float32), g_eig, overflow
 
 
 def h_train_inverse(

@@ -25,10 +25,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from splatam_tpu.core.losses import render_for_loss
-from splatam_tpu.core.transforms import matrix_to_quaternion
-from splatam_tpu.fisher import render_fisher
+from splatam_tpu.fisher import (
+    fisher_h_train,
+    render_fisher,
+    render_gains,
+    sized_fisher_config,
+)
 from splatam_tpu.render.binning import RasterConfig
 from splatam_tpu.render.camera import Camera
+
+
+def _w2c_rt(w2c: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """w2c 4x4 -> (quaternion wxyz, translation), on the HOST.
+
+    An eager jnp matrix_to_quaternion costs one ~35 ms tunneled dispatch per
+    op on the remote chip; scipy is free and any unit quaternion sign is
+    equivalent downstream.
+    """
+    from scipy.spatial.transform import Rotation
+
+    q_xyzw = Rotation.from_matrix(np.asarray(w2c[:3, :3], np.float64)).as_quat()
+    rot = np.roll(q_xyzw, 1).astype(np.float32)  # -> (w, x, y, z)
+    return rot, np.asarray(w2c[:3, 3], np.float32)
 
 
 def pose_matrix_from_quaternion(pvec: np.ndarray) -> np.ndarray:
@@ -93,6 +111,7 @@ class ActiveViewHandler:
         self.initial_pose = initial_pose  # world frame of the planner
         self.visited_poses: List[np.ndarray] = []  # c2w, SLAM frame
         self.h_train_inv: Optional[np.ndarray] = None
+        self._h_train_inv_dev = None  # same, device-resident for the EIG dot
         self.rng = rng or np.random.default_rng(0)
         self._render = jax.jit(
             lambda p, a, r, t: render_for_loss(
@@ -100,45 +119,103 @@ class ActiveViewHandler:
                 gaussians_grad=False, camera_grad=False,
             )[0]
         )
-        # one compiled program per map capacity: an EAGER render_fisher
+        # Fisher-path programs are built LAZILY at snug sized capacities
+        # (sized_fisher_config probe): the safe max_instances-derived shapes
+        # cost ~2x device time per pose, and an EAGER render_fisher
         # dispatches every op through the ~35 ms axon tunnel (measured
-        # ~1.3 s/pose vs ~0.43 s jitted at 200k gaussians, 1200x680 —
-        # tools/fisher_bench.py)
+        # ~1.3 s/pose eager vs 0.37 s jitted-safe vs sized numbers in
+        # PROFILE.md — tools/fisher_bench.py). Programs re-build when the
+        # gaussian capacity changes or a pose overflows the margin.
+        self._margin = 1.6
+        self._size_key = None
+        self._sized_cfg: Optional[RasterConfig] = None
+        self._fisher = None
+        self._gains_sil = None
+        self._gains_eig = None
+        self._htrain = None
+
+    # -- sized program cache -------------------------------------------------
+    def _ensure_sized(self, params: Dict, active, rot, tran) -> None:
+        key = (int(params["means3D"].shape[0]), self._margin)
+        if self._size_key == key:
+            return
+        cfg = sized_fisher_config(
+            params, active, jnp.asarray(rot), jnp.asarray(tran),
+            self.cam, self.raster_cfg, margin=self._margin,
+        )
+        self._sized_cfg = cfg
+        self._size_key = key
+        seed = self.cfg.fisher_seed
         self._fisher = jax.jit(
             lambda p, a, r, t: render_fisher(
-                p, a, r, t, self.cam, self.raster_cfg,
-                seed_value=self.cfg.fisher_seed,
+                p, a, r, t, self.cam, cfg, seed_value=seed,
+                with_overflow=True,
             )
         )
+        self._gains_sil = jax.jit(
+            lambda p, a, r, t: render_gains(
+                p, a, r, t, self.cam, cfg, None, seed
+            )
+        )
+        self._gains_eig = jax.jit(
+            lambda p, a, r, t, hinv: render_gains(
+                p, a, r, t, self.cam, cfg, hinv, seed
+            )
+        )
+        self._htrain = jax.jit(
+            lambda p, a, r, t, w: fisher_h_train(
+                p, a, r, t, w, self.cam, cfg, seed_value=seed
+            )
+        )
+
+    def _grow(self) -> None:
+        """A pose overflowed the sized margin: double it and re-jit."""
+        self._margin *= 2.0
+        self._size_key = None
+
+    @staticmethod
+    def _gauss(params: Dict) -> Dict:
+        return {k: v for k, v in params.items() if not k.startswith("cam_")}
 
     # -- rendering ---------------------------------------------------------
     def get_renders(self, params: Dict, active, w2c: np.ndarray):
         """(rgb, depth, silhouette) at a candidate pose
         (`ros_handler.py:955-985`)."""
-        w2c = jnp.asarray(w2c, jnp.float32)
-        rot = matrix_to_quaternion(w2c[:3, :3])
-        gauss = {k: v for k, v in params.items() if not k.startswith("cam_")}
-        out = self._render(gauss, active, rot, w2c[:3, 3])
+        rot, tran = _w2c_rt(np.asarray(w2c))
+        out = self._render(
+            self._gauss(params), active, jnp.asarray(rot), jnp.asarray(tran)
+        )
         return out.color[:3], out.color[3:4], out.color[4]
 
     # -- Fisher bookkeeping --------------------------------------------------
-    def _hessian_dev(self, params: Dict, active, w2c: np.ndarray):
-        """(N, 4) diagonal Fisher at a pose as a DEVICE array."""
-        w2c = jnp.asarray(w2c, jnp.float32)
-        rot = matrix_to_quaternion(w2c[:3, :3])
-        gauss = {k: v for k, v in params.items() if not k.startswith("cam_")}
-        return self._fisher(gauss, active, rot, w2c[:3, 3])
-
     def compute_hessian(self, params: Dict, active, w2c: np.ndarray) -> np.ndarray:
         """(N, 4) diagonal Fisher at a pose (`ros_handler.py:839-902`)."""
-        return np.asarray(self._hessian_dev(params, active, w2c))
+        rot, tran = _w2c_rt(np.asarray(w2c))
+        gauss = self._gauss(params)
+        for _ in range(4):
+            self._ensure_sized(gauss, active, rot, tran)
+            h, over = self._fisher(
+                gauss, active, jnp.asarray(rot), jnp.asarray(tran)
+            )
+            h = np.asarray(h)
+            if not bool(over):
+                return h
+            self._grow()
+        return h
 
     def add_visited_pose(self, c2w: np.ndarray) -> None:
         self.visited_poses.append(np.asarray(c2w))
 
     def recompute_h_train_inv(self, params: Dict, active) -> None:
         """H_train_inv over Monte-Carlo-subsampled visited poses
-        (`ros_handler.py:807-829`)."""
+        (`ros_handler.py:807-829`).
+
+        One device-side scan over a power-of-two-padded pose batch: the
+        round-3 host loop paid a dispatch + fetch per pose (~35 ms tunnel
+        each, 3.8 s per 40-pose rebuild); padded tiers keep recompiles
+        O(log poses) while the steady state (>= monte_carlo poses) is a
+        single fixed-shape program.
+        """
         if not self.visited_poses:
             return
         poses = self.visited_poses
@@ -146,13 +223,30 @@ class ActiveViewHandler:
         if mc is not None and len(poses) > mc:
             idx = self.rng.choice(len(poses), mc, replace=False)
             poses = [poses[i] for i in idx]
-        h_train = None
-        for c2w in poses:
-            # accumulate ON DEVICE: a per-pose host fetch costs ~35 ms
-            # through the tunnel; one fetch at the end instead
-            h = self._hessian_dev(params, active, np.linalg.inv(c2w))
-            h_train = h if h_train is None else h_train + h
-        self.h_train_inv = np.asarray(1.0 / (h_train + self.cfg.h_train_eps))
+        pad = 1
+        while pad < len(poses):
+            pad *= 2
+        if mc is not None:
+            pad = min(pad, mc)
+        rots = np.zeros((pad, 4), np.float32)
+        rots[:, 0] = 1.0
+        trans = np.zeros((pad, 3), np.float32)
+        wgt = np.zeros((pad,), np.float32)
+        for i, c2w in enumerate(poses):
+            rots[i], trans[i] = _w2c_rt(np.linalg.inv(c2w))
+            wgt[i] = 1.0
+        gauss = self._gauss(params)
+        for _ in range(4):
+            self._ensure_sized(gauss, active, rots[0], trans[0])
+            h_train, over = self._htrain(
+                gauss, active, jnp.asarray(rots), jnp.asarray(trans),
+                jnp.asarray(wgt),
+            )
+            if not bool(over):
+                break
+            self._grow()
+        self._h_train_inv_dev = 1.0 / (h_train + self.cfg.h_train_eps)
+        self.h_train_inv = np.asarray(self._h_train_inv_dev)
 
     def compute_eig_score(self, params: Dict, active, w2c: np.ndarray) -> float:
         if self.h_train_inv is None:
@@ -162,6 +256,27 @@ class ActiveViewHandler:
         return float(np.sum(h[:n] * self.h_train_inv[:n]))
 
     # -- gains ---------------------------------------------------------------
+    def _gains_one(self, gauss: Dict, active, w2c: np.ndarray, use_eig: bool):
+        """(g_sil_raw, g_eig_raw) for one candidate — ONE fused program
+        (shared binning; three scalars fetched, not images)."""
+        rot, tran = _w2c_rt(w2c)
+        for _ in range(4):
+            self._ensure_sized(gauss, active, rot, tran)
+            if use_eig:
+                g_sil, g_eig, over = self._gains_eig(
+                    gauss, active, jnp.asarray(rot), jnp.asarray(tran),
+                    self._h_train_inv_dev,
+                )
+            else:
+                g_sil, g_eig, over = self._gains_sil(
+                    gauss, active, jnp.asarray(rot), jnp.asarray(tran)
+                )
+            out = np.asarray(jnp.stack([g_sil, g_eig]))
+            if not bool(over):
+                return float(out[0]), float(out[1])
+            self._grow()
+        return float(out[0]), float(out[1])
+
     def compute_gains(
         self,
         params: Dict,
@@ -171,20 +286,15 @@ class ActiveViewHandler:
         """Score candidate planner poses ([tx ty tz qx qy qz qw] each);
         `send_gains` parity (`ros_handler.py:251-359`)."""
         cfg = self.cfg
+        gauss = self._gauss(params)
+        use_eig = cfg.k_eig != 0 and self._h_train_inv_dev is not None
         results = []
         for vec in candidate_pose_vecs:
             pose_mat = pose_matrix_from_quaternion(np.asarray(vec))
             if self.initial_pose is not None:
                 pose_mat = relative_transformation(self.initial_pose, pose_mat)
             w2c = np.linalg.inv(pose_mat)
-            _, _, sil = self.get_renders(params, active, w2c)
-            g_sil = float((np.asarray(sil) < 0.5).sum()) / (
-                self.cam.image_width * self.cam.image_height
-            )
-            g_eig = (
-                self.compute_eig_score(params, active, w2c)
-                if cfg.k_eig != 0 else 0.0
-            )
+            g_sil, g_eig = self._gains_one(gauss, active, w2c, use_eig)
             g_sil *= cfg.k_sil
             g_eig *= cfg.k_eig
             if cfg.nl_sil:

@@ -111,3 +111,108 @@ def test_gain_helpers():
     assert np.isfinite(score) and score > 0
     nl = float(nonlinear_gain(jnp.asarray(score)))
     assert -1700.0 < nl < 1700.0
+
+
+def _small_scene_params():
+    rng = np.random.default_rng(3)
+    n, w, h = 40, 48, 32
+    means, colors, opacities, scales, quats, cam = make_scene(rng, n=n, w=w, h=h)
+    params, variables = _params_from_scene(
+        means, colors, opacities, scales, quats, n
+    )
+    return params, variables["active"], cam, n
+
+
+def test_fisher_h_train_matches_per_pose_sum():
+    """The padded device-side scan == sum of individual render_fisher calls,
+    with weight-0 pad slots contributing nothing."""
+    from splatam_tpu.fisher import fisher_h_train
+
+    params, active, cam, n = _small_scene_params()
+    rot0 = np.array([1.0, 0, 0, 0], np.float32)
+    rots = np.stack([rot0, rot0, rot0, rot0])
+    trans = np.array(
+        [[0, 0, 0], [0.01, 0, 0], [0, 0.01, 0], [9.9, 9.9, 9.9]], np.float32
+    )
+    wgt = np.array([1, 1, 1, 0], np.float32)  # last slot is padding
+
+    h_sum = None
+    for i in range(3):
+        h = render_fisher(
+            params, active, jnp.asarray(rots[i]), jnp.asarray(trans[i]),
+            cam, CFG, seed_value=SEED,
+        )
+        h_sum = h if h_sum is None else h_sum + h
+
+    h_train, over = fisher_h_train(
+        params, active, jnp.asarray(rots), jnp.asarray(trans),
+        jnp.asarray(wgt), cam, CFG, seed_value=SEED,
+    )
+    assert not bool(over)
+    scale = float(jnp.abs(h_sum).max()) + 1e-20
+    np.testing.assert_allclose(
+        np.asarray(h_train) / scale, np.asarray(h_sum) / scale, atol=1e-6
+    )
+
+
+def test_render_gains_matches_separate_paths():
+    """The fused per-candidate program == silhouette_gain + eig_score of the
+    unfused calls."""
+    from splatam_tpu.core.losses import render_for_loss
+    from splatam_tpu.fisher import render_gains
+
+    params, active, cam, n = _small_scene_params()
+    rng = np.random.default_rng(7)
+    hinv = jnp.asarray(rng.uniform(0.1, 2.0, (n, 4)).astype(np.float32))
+    rot = jnp.asarray([1.0, 0, 0, 0])
+    tran = jnp.asarray([0.02, -0.01, 0.0])
+
+    g_sil, g_eig, over = render_gains(
+        params, active, rot, tran, cam, CFG, h_train_inv=hinv,
+        seed_value=SEED,
+    )
+    assert not bool(over)
+
+    out, _ = render_for_loss(
+        params, active, rot, tran, cam, CFG,
+        gaussians_grad=False, camera_grad=False,
+    )
+    ref_sil = float(silhouette_gain(out.color[4]))
+    h = render_fisher(params, active, rot, tran, cam, CFG, seed_value=SEED)
+    ref_eig = float(eig_score(h, hinv))
+
+    np.testing.assert_allclose(float(g_sil), ref_sil, rtol=1e-6)
+    scale = abs(ref_eig) + 1e-20
+    np.testing.assert_allclose(float(g_eig) / scale, ref_eig / scale, atol=1e-5)
+
+
+def test_sized_fisher_config_and_overflow_flag():
+    """sized caps fit the probe pose; a crushed cap raises the overflow
+    flag instead of silently truncating."""
+    import dataclasses
+
+    from splatam_tpu.fisher import sized_fisher_config
+
+    params, active, cam, n = _small_scene_params()
+    rot = jnp.asarray([1.0, 0, 0, 0])
+    tran = jnp.zeros(3)
+    sized = sized_fisher_config(params, active, rot, tran, cam, CFG)
+    assert sized.max_stream is not None and sized.max_chunks is not None
+
+    h, over = render_fisher(
+        params, active, rot, tran, cam, sized, seed_value=SEED,
+        with_overflow=True,
+    )
+    assert not bool(over)
+    h_ref = render_fisher(params, active, rot, tran, cam, CFG, seed_value=SEED)
+    scale = float(jnp.abs(h_ref).max()) + 1e-20
+    np.testing.assert_allclose(
+        np.asarray(h) / scale, np.asarray(h_ref) / scale, atol=1e-6
+    )
+
+    crushed = dataclasses.replace(sized, max_stream=CFG.chunk, max_chunks=2)
+    _, over = render_fisher(
+        params, active, rot, tran, cam, crushed, seed_value=SEED,
+        with_overflow=True,
+    )
+    assert bool(over)

@@ -1,4 +1,4 @@
-"""On-chip Fisher/EIG latency benchmark (VERDICT r3 item 5).
+"""On-chip Fisher/EIG latency benchmark (VERDICT r3 item 5, r4 item 3).
 
 The reference serves active-view-selection gains inside a realtime planner
 loop (`scripts/ros_handler.py:807-902`): per candidate pose it renders
@@ -6,14 +6,15 @@ silhouette + RGB and runs the power=2 fused backward for the diagonal
 Fisher; per mapped frame it rebuilds H_train_inv from a <=40-pose
 Monte-Carlo subsample. This tool measures, on the real chip at SLAM scale:
 
-  * render_fisher ms per candidate pose (fwd + fisher kernel + reduction
-    + Jacobian closure),
-  * compute_gains ms per candidate (incl. the silhouette render),
-  * the 40-pose H_train_inv rebuild seconds.
+  * render_fisher ms per candidate pose at SAFE vs SIZED capacities
+    (fisher.sized_fisher_config probe),
+  * handler.compute_gains ms per candidate — the fused one-program path
+    (shared binning, scalar fetch) with k_eig=1,
+  * the 40-pose H_train_inv rebuild seconds (device-side padded scan).
 
-Chained-iteration timing is impossible here (the handler is a host loop by
-design, like the reference's), so numbers include the ~35 ms/dispatch
-tunnel overhead — which the production planner loop pays too.
+Handler calls are a host loop by design (like the reference's), so numbers
+include the ~35 ms/dispatch tunnel overhead — which the production planner
+loop pays too.
 
 Usage: python tools/fisher_bench.py [--n 200000] [--w 1200] [--h 680] [--poses 8]
 """
@@ -36,14 +37,23 @@ def main():
     ap.add_argument("--h", type=int, default=680)
     ap.add_argument("--poses", type=int, default=8)
     ap.add_argument("--monte", type=int, default=40)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force XLA:CPU (smoke; sitecustomize pins TPU)")
+    ap.add_argument("--skip_safe", action="store_true",
+                    help="skip the safe-capacity baseline measurement")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from bench import make_scene
-    from splatam_tpu.fisher.fisher import render_fisher
+    from splatam_tpu.fisher import render_fisher, sized_fisher_config
     from splatam_tpu.realtime.handler import ActiveViewHandler, GainConfig
     from splatam_tpu.render.binning import RasterConfig
 
@@ -59,21 +69,29 @@ def main():
     rot0 = jnp.asarray(np.array([1, 0, 0, 0], np.float32))
     tran0 = jnp.zeros(3, jnp.float32)
 
-    # --- raw render_fisher per pose (jitted; includes Jacobian closure) ---
-    f = jax.jit(
-        lambda r, t: render_fisher(params, active, r, t, cam, cfg)
-    )
-    h = f(rot0, tran0)  # compile
-    _ = np.asarray(h)
-    t0 = time.perf_counter()
-    reps = 5
-    for i in range(reps):
-        h = f(rot0, tran0 + 1e-6 * i)
-        _ = float(h[0, 0])  # host sync per pose, as the planner loop pays
-    fisher_ms = (time.perf_counter() - t0) / reps * 1e3
+    def time_fisher(use_cfg, label):
+        f = jax.jit(
+            lambda r, t: render_fisher(params, active, r, t, cam, use_cfg)
+        )
+        h = f(rot0, tran0)  # compile
+        _ = np.asarray(h)
+        t0 = time.perf_counter()
+        reps = 5
+        for i in range(reps):
+            h = f(rot0, tran0 + 1e-6 * i)
+            _ = float(h[0, 0])  # host sync per pose, as the planner loop pays
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        print(f"render_fisher[{label}]: {ms:.1f} ms/pose", flush=True)
+        return ms
 
-    # --- handler.compute_gains per candidate (sil render + EIG) ---
-    handler = ActiveViewHandler(cam, cfg, GainConfig())
+    fisher_safe_ms = (
+        None if args.skip_safe else time_fisher(cfg, "safe caps")
+    )
+    sized = sized_fisher_config(params, active, rot0, tran0, cam, cfg)
+    fisher_sized_ms = time_fisher(sized, "sized caps")
+
+    # --- handler.compute_gains per candidate (fused sil + EIG program) ---
+    handler = ActiveViewHandler(cam, cfg, GainConfig(k_eig=1.0))
     for i in range(3):
         handler.add_visited_pose(pose(i))
     t0 = time.perf_counter()
@@ -92,13 +110,16 @@ def main():
     # --- the <=40-pose Monte-Carlo H_train rebuild -----------------------
     for i in range(3, args.monte):
         handler.add_visited_pose(pose(i))
-    handler.recompute_h_train_inv(params, active)  # compile at this count
+    handler.recompute_h_train_inv(params, active)  # compile at the padded cap
     t0 = time.perf_counter()
     handler.recompute_h_train_inv(params, active)
     h_rebuild_s = time.perf_counter() - t0
 
     print(json.dumps({
-        "render_fisher_ms_per_pose": round(fisher_ms, 1),
+        "render_fisher_ms_per_pose_safe": (
+            None if fisher_safe_ms is None else round(fisher_safe_ms, 1)
+        ),
+        "render_fisher_ms_per_pose_sized": round(fisher_sized_ms, 1),
         "compute_gains_ms_per_candidate": round(gains_ms, 1),
         "h_train_inv_rebuild_s_3poses": round(h_rebuild_3_s, 2),
         f"h_train_inv_rebuild_s_{args.monte}poses": round(h_rebuild_s, 2),
