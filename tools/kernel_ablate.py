@@ -211,6 +211,87 @@ def main():
             return pr._make_bwd_call(
                 nc, num_tiles, grid_x, chunk, interpret, need_depth=False
             )
+        if stage == "dma0":
+            # no tensor inputs at all: write a constant block. Pure per-step
+            # grid/output-flush overhead.
+            def k0(meta_ref, lim_ref, blk_ref, ginst_ref):
+                ginst_ref[:] = jnp.full((ROWS, chunk), 1.0, jnp.float32)
+
+            return pl.pallas_call(
+                k0,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(nc,),
+                    in_specs=[],
+                    out_specs=[pr._out_chunk_spec(ROWS, chunk)],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)
+                ],
+                interpret=interpret,
+            )
+        if stage in ("dma_phi", "dma_tile"):
+            # stream + (phi,phim consts | gcolor,gadep per-tile blocks):
+            # attributes the input-block overhead between constant-index
+            # blocks and per-tile-index blocks.
+            in_specs = (
+                [pr._stream_spec(chunk), pr._const_spec(27),
+                 pr._const_spec(24)]
+                if stage == "dma_phi"
+                else [
+                    pr._stream_spec(chunk),
+                    pl.BlockSpec((1, pr.NFEAT_PAD, NPIX), pr._tile_of),
+                    pl.BlockSpec((1, 8, NPIX), pr._tile_of),
+                ]
+            )
+
+            def kp2(meta_ref, lim_ref, blk_ref, inst_ref, a_ref, b_ref,
+                    ginst_ref, stage=stage):
+                if stage == "dma_phi":
+                    # bf16 consts: slice (no scalar vector.extract in bf16,
+                    # Mosaic restriction) and cast; (1,1) broadcasts
+                    ginst_ref[:] = (
+                        inst_ref[:]
+                        + a_ref[0:1, 0:1].astype(jnp.float32)
+                        + b_ref[0:1, 0:1].astype(jnp.float32)
+                    )
+                else:
+                    ginst_ref[:] = (
+                        inst_ref[:] + a_ref[0, 0:1, 0:1] + b_ref[0, 0:1, 0:1]
+                    )
+
+            return pl.pallas_call(
+                kp2,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(nc,),
+                    in_specs=in_specs,
+                    out_specs=[pr._out_chunk_spec(ROWS, chunk)],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)
+                ],
+                interpret=interpret,
+            )
+        if stage == "dma_lean":
+            # stream window in -> ginst out only (no phi/phim/gcolor/gadep
+            # blocks): isolates the per-input-block cost of the bwd specs.
+            def kl(meta_ref, lim_ref, blk_ref, inst_ref, ginst_ref):
+                ginst_ref[:] = inst_ref[:]
+
+            return pl.pallas_call(
+                kl,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(nc,),
+                    in_specs=[pr._stream_spec(chunk)],
+                    out_specs=[pr._out_chunk_spec(ROWS, chunk)],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)
+                ],
+                interpret=interpret,
+            )
         return pl.pallas_call(
             functools.partial(body_stage(stage), grid_x=grid_x, chunk=chunk),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -234,15 +315,28 @@ def main():
         )
 
     results = {}
-    for stage in ("dma", "alpha", "scan", "gc", "full"):
+    for stage in ("dma0", "dma_lean", "dma_phi", "dma_tile", "dma", "alpha",
+                  "scan", "gc", "full"):
         call = make_call(stage)
 
         @jax.jit
-        def run(stream, x0, call=call):
+        def run(stream, x0, call=call, stage=stage):
             def it(i, x):
-                s = stream + 1e-30 * x  # real data dependency between iters
-                (g,) = call(meta, lim, blk, s, pr._phi_pow(), pr._phi_mom(),
-                            g_color, gadep)
+                # real data dependency between iterations via the prefetch
+                # table (never true at runtime, not foldable at compile time)
+                b = blk + jnp.where(x > 1e30, 1, 0).astype(jnp.int32)
+                if stage == "dma0":
+                    (g,) = call(meta, lim, b)
+                elif stage == "dma_lean":
+                    (g,) = call(meta, lim, b, stream)
+                elif stage == "dma_phi":
+                    (g,) = call(meta, lim, b, stream, pr._phi_pow(),
+                                pr._phi_mom())
+                elif stage == "dma_tile":
+                    (g,) = call(meta, lim, b, stream, g_color, gadep)
+                else:
+                    (g,) = call(meta, lim, b, stream, pr._phi_pow(),
+                                pr._phi_mom(), g_color, gadep)
                 return jnp.sum(g[0, :8])
             return jax.lax.fori_loop(0, args.iters, it, x0)
 
