@@ -306,6 +306,28 @@ def _phi_mom_host():
     return np.concatenate([b1, z, b2, z, b3, z], axis=1)
 
 
+@functools.lru_cache(maxsize=1)
+def _phi_pm_host():
+    """(2*NPIX, 27) bf16: power basis stacked over the moment basis.
+
+    The bwd kernel's two constant inputs merged into one block (sublane
+    concat — both slices sit at 8-aligned offsets, so the kernel reads
+    them relayout-free). The moment basis is zero-padded 24 -> 27 columns;
+    its consumers ignore rows 24-26 of the matmul output."""
+    import numpy as np
+
+    pow_b = _phi_pow_host()  # (NPIX, 27)
+    mom_b = _phi_mom_host()  # (NPIX, 24)
+    mom_pad = np.concatenate(
+        [mom_b, np.zeros((NPIX, 3), mom_b.dtype)], axis=1
+    )
+    return np.concatenate([pow_b, mom_pad], axis=0)
+
+
+def _phi_pm() -> jax.Array:
+    return jnp.asarray(_phi_pm_host())
+
+
 def _chunk_alpha_mxu(blk, phi27, t, skip, lim, chunk, grid_x):
     """Per-(pixel, gaussian) alpha for one (ROWS, chunk) window — MXU form.
 
@@ -840,33 +862,36 @@ def _fwd_kernel_packed(
         )
 
 
-def _colx(block8, row):
-    """(NPIX, 1) column `row` of a channel-major (8, NPIX) block via a tiny
+def _colx(block, row):
+    """(NPIX, 1) column `row` of a channel-major (R, NPIX) block via a tiny
     one-hot matmul — a row -> column relayout would otherwise be a Mosaic
     transpose."""
     e = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row
+        jax.lax.broadcasted_iota(jnp.int32, (block.shape[0], 1), 0) == row
     ).astype(jnp.float32)
     return jax.lax.dot_general(
-        block8, e, (((0,), (0,)), ((), ())),
+        block, e, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
 
 def _ga_gdep_blocks(g_color, g_aux, color, aux):
-    """(T, 8, NPIX) per-tile backward constants, computed ONCE XLA-side:
-    row 0 = dL/d median depth, row 1 = ga (the per-pixel channel sum of
-    rescolor * gcolor plus the final-T gradient term — the only combination
-    the kernel's dalpha ever reads). Replaces three per-tile input blocks
-    (gaux / rescolor / resaux) per grid step and their in-kernel one-hot
-    matmuls: per-step block DMAs are a real cost at ~6-8k grid steps."""
+    """(T, 16, NPIX) MERGED per-tile backward input, computed ONCE XLA-side:
+    rows 0-7 = the upstream dL/d color block, row 8 = dL/d median depth,
+    row 9 = ga (the per-pixel channel sum of rescolor * gcolor plus the
+    final-T gradient term — the only combination the kernel's dalpha ever
+    reads). One input block per grid step instead of three (gaux /
+    rescolor / resaux, r3) and then two (gcolor + gadep, r4 start): the
+    kernel-ablation probe (tools/kernel_ablate.py) measured ~80-160 ns of
+    fixed per-step cost PER INPUT BLOCK at 7.7k grid steps."""
     ga = g_aux[:, 1, :] * aux[:, 1, :] + jnp.sum(
         color * g_color, axis=1
     )  # (T, NPIX)
     t = ga.shape[0]
     return jnp.concatenate(
         [
+            g_color,
             g_aux[:, 0:1, :],
             ga[:, None, :],
             jnp.zeros((t, 6, NPIX), jnp.float32),
@@ -880,10 +905,12 @@ def _bwd_kernel(
     lim_ref,
     blk_ref,
     inst_ref,  # (ROWS, chunk)
-    phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
-    phim_ref,  # (NPIX, 24) bf16 constant moment basis (_phi_mom_host)
-    gcolor_ref,  # (1, NFEAT_PAD, NPIX) upstream dL/d color accumulator
-    gadep_ref,  # (1, 8, NPIX): row 0 = dL/d median depth, row 1 = ga
+    phipm_ref,  # (2*NPIX, 27) bf16: rows [0, NPIX) power basis, rows
+    #             [NPIX, 2*NPIX) moment basis (27-col-padded) — one merged
+    #             constant block instead of two (_phi_pm_host)
+    gct_ref,  # (1, 16, NPIX) merged per-tile input (_ga_gdep_blocks):
+    #           rows 0-7 upstream dL/d color, row 8 dL/d median depth,
+    #           row 9 ga
     ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
     t_run_sc,
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
@@ -905,8 +932,8 @@ def _bwd_kernel(
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
         if need_depth:
-            gdep_sc[:] = _colx(gadep_ref[0], 0)
-        ga_sc[:] = _colx(gadep_ref[0], 1)
+            gdep_sc[:] = _colx(gct_ref[0], 8)
+        ga_sc[:] = _colx(gct_ref[0], 9)
 
     run = (lim > skip) & (alive_sc[0] == 1)
 
@@ -921,11 +948,11 @@ def _bwd_kernel(
     def _():
         blk = inst_ref[:]
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
-            blk, phi_ref[:], t, skip, lim, chunk, grid_x
+            blk, phipm_ref[0:NPIX, :], t, skip, lim, chunk, grid_x
         )
         t_run = t_run_sc[:]
 
-        g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
+        g_color = gct_ref[0, 0:NFEAT_PAD]  # (NFEAT_PAD, NPIX) channel-major
         ga = ga_sc[:]
 
         # terms=2 on both gradient-side cumsums: only gradients flow
@@ -980,12 +1007,12 @@ def _bwd_kernel(
         # rhs uses a 2-way split (~16 mantissa bits — plenty against the
         # 2e-2 gradient agreement the two f32 formulations have anyway).
         mom24 = jax.lax.dot_general(
-            phim_ref[:],  # (NPIX, 24) constant
+            phipm_ref[NPIX:, :],  # (NPIX, 27) moment basis (cols 24-26 zero)
             _split2(dpower, axis=1),  # (NPIX, 2*chunk)
             (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
-        )  # (24, 2*chunk)
+        )  # (27, 2*chunk); rows 24-26 are zero padding
         mom = (
             (mom24[0:8, :chunk] + mom24[0:8, chunk:])
             + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
@@ -1046,12 +1073,9 @@ def _bwd_kernel_packed(
     btile_ref,
     blk_ref,
     inst_ref,  # (ROWS, chunk)
-    phi_ref,  # (NPIX, 27) bf16 power basis
-    phim_ref,  # (NPIX, 24) bf16 moment basis
-    gcolor_a_ref,  # (1, NFEAT_PAD, NPIX) upstream grads, STILE's block
-    gadep_a_ref,  # (1, 8, NPIX) per-tile constants (_ga_gdep_blocks), STILE
-    gcolor_b_ref,  # same two for BTILE (the boundary head's tile)
-    gadep_b_ref,
+    phipm_ref,  # (2*NPIX, 27) bf16 merged power+moment basis (_phi_pm_host)
+    gct_a_ref,  # (1, 16, NPIX) merged per-tile input (_ga_gdep_blocks), STILE
+    gct_b_ref,  # same for BTILE (the boundary head's tile)
     ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
     t_run_sc,  # (NPIX, 1)
     accwgc_sc,  # (NPIX, 1) stile's running prefix of w * gc
@@ -1084,8 +1108,8 @@ def _bwd_kernel_packed(
         t_run_sc[:] = pendt_sc[:]
         accwgc_sc[:] = pendacc_sc[:]
         if need_depth:
-            gdep_a_sc[:] = _colx(gadep_a_ref[0], 0)
-        ga_a_sc[:] = _colx(gadep_a_ref[0], 1)
+            gdep_a_sc[:] = _colx(gct_a_ref[0], 8)
+        ga_a_sc[:] = _colx(gct_a_ref[0], 9)
 
     t_run = t_run_sc[:]
     alive = jnp.max(t_run) > 0.0
@@ -1105,7 +1129,7 @@ def _bwd_kernel_packed(
         """Shared per-instance gradient-row assembly (moment matmul +
         per-instance recombination — see _bwd_kernel)."""
         mom24 = jax.lax.dot_general(
-            phim_ref[:],
+            phipm_ref[NPIX:, :],
             _split2(dpower, axis=1),
             (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
@@ -1145,14 +1169,14 @@ def _bwd_kernel_packed(
     def _():
         blk = inst_ref[:]
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
-            blk, phi_ref[:], t, 0, lim, chunk, grid_x
+            blk, phipm_ref[0:NPIX, :], t, 0, lim, chunk, grid_x
         )
         tri = _triangular(chunk)
         t_before, t_cum, live, new_t_run = _chunk_transmittance(
             alpha, t_run, "mxu", chunk, terms=2
         )
         w = jnp.where(live, alpha * t_before, 0.0)
-        g_color = gcolor_a_ref[0]
+        g_color = gct_a_ref[0, 0:NFEAT_PAD]
         feats = blk[ROW_FEAT0:, :]
         gc = jax.lax.dot_general(
             g_color, feats, (((0,), (0,)), ((), ())),
@@ -1194,7 +1218,7 @@ def _bwd_kernel_packed(
     def _():
         blk = inst_ref[:]
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
-            blk, phi_ref[:], t, bt, send, lim, chunk, grid_x
+            blk, phipm_ref[0:NPIX, :], t, bt, send, lim, chunk, grid_x
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         cola = col < send
@@ -1209,9 +1233,9 @@ def _bwd_kernel_packed(
         )
         w = jnp.where(live, alpha * t_before, 0.0)
 
-        g_color_a = gcolor_a_ref[0]  # (NFEAT_PAD, NPIX)
-        g_color_b = gcolor_b_ref[0]
-        ga_b = _colx(gadep_b_ref[0], 1)
+        g_color_a = gct_a_ref[0, 0:NFEAT_PAD]  # (NFEAT_PAD, NPIX)
+        g_color_b = gct_b_ref[0, 0:NFEAT_PAD]
+        ga_b = _colx(gct_b_ref[0], 9)
 
         feats = blk[ROW_FEAT0:, :]
         gc_a = jax.lax.dot_general(
@@ -1243,7 +1267,7 @@ def _bwd_kernel_packed(
         dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
 
         if need_depth:
-            gdep_b = _colx(gadep_b_ref[0], 0)
+            gdep_b = _colx(gct_b_ref[0], 8)
             gdep = jnp.where(cola, gdep_a_sc[:], gdep_b)
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
             gdep_row = jnp.sum(
@@ -1280,9 +1304,11 @@ def _fisher_kernel(
     lim_ref,
     blk_ref,
     inst_ref,  # (ROWS, chunk)
-    gcolor_ref,  # (1, NFEAT_PAD, NPIX) seed dL/d color (e.g. 1e-3 on RGB)
-    rescolor_ref,  # (1, NFEAT_PAD, NPIX) forward color accumulator
-    resaux_ref,  # (1, 8, NPIX) forward aux
+    gct_ref,  # (1, 16, NPIX) merged per-tile input: rows 0-7 = seed
+    #           dL/d color (e.g. 1e-3 on RGB), row 8 = gtot (the per-pixel
+    #           channel sum of rescolor * seed, precomputed XLA-side) —
+    #           one block instead of three (kernel_ablate: per-input-block
+    #           fixed cost; the old resaux block was entirely unused)
     fish_ref,  # (FROWS, chunk) out: 15 moments + sum dop^2 + key row
     t_run_sc,
     accwgc_sc,
@@ -1313,13 +1339,7 @@ def _fisher_kernel(
         t_run_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
         accwgc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
         alive_sc[0] = 1
-        gtot_sc[:] = jax.lax.dot_general(
-            rescolor_ref[0] * gcolor_ref[0],
-            jnp.ones((NFEAT_PAD, 1), jnp.float32),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (NPIX, 1) per-pixel channel sum — per-tile constant
+        gtot_sc[:] = _colx(gct_ref[0], 8)  # per-tile constant
 
     run = (lim > skip) & (alive_sc[0] == 1)
 
@@ -1339,7 +1359,7 @@ def _fisher_kernel(
         )
         t_run = t_run_sc[:]
 
-        g_color = gcolor_ref[0]  # (NFEAT_PAD, NPIX) channel-major
+        g_color = gct_ref[0, 0:NFEAT_PAD]  # (NFEAT_PAD, NPIX)
         gtot = gtot_sc[:]
 
         tri = _triangular(chunk)
@@ -1461,10 +1481,10 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu",
             grid=(nc,),
             in_specs=[
                 _stream_spec(chunk),
-                _const_spec(27),
-                _const_spec(24),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
-                pl.BlockSpec((1, 8, NPIX), _tile_of),
+                pl.BlockSpec(
+                    (2 * NPIX, 27), lambda c, meta, lim, blk: (0, 0)
+                ),
+                pl.BlockSpec((1, 16, NPIX), _tile_of),
             ],
             out_specs=[_out_chunk_spec(ROWS, chunk)],
             scratch_shapes=_common_scratch()
@@ -1541,12 +1561,12 @@ def _make_bwd_call_packed(nc, num_tiles, grid_x, chunk, interpret,
             grid=(nc,),
             in_specs=[
                 _stream_spec4(chunk),
-                _const_spec4(27),
-                _const_spec4(24),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of4),
-                pl.BlockSpec((1, 8, NPIX), _tile_of4),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _btile_of4),
-                pl.BlockSpec((1, 8, NPIX), _btile_of4),
+                pl.BlockSpec(
+                    (2 * NPIX, 27),
+                    lambda c, meta, lim, btile, blk: (0, 0),
+                ),
+                pl.BlockSpec((1, 16, NPIX), _tile_of4),
+                pl.BlockSpec((1, 16, NPIX), _btile_of4),
             ],
             out_specs=[
                 pl.BlockSpec(
@@ -1600,10 +1620,9 @@ def _make_raster_fn_packed(nc, num_tiles, grid_x, chunk, nfeat, interpret,
         (stream, hist, meta, lim, btile, blk, slot_pos, slot_off, color,
          aux) = res
         g_color, g_aux = g
-        gadep = _ga_gdep_blocks(g_color, g_aux, color, aux)
+        gct = _ga_gdep_blocks(g_color, g_aux, color, aux)
         (ginst,) = bwd_call(
-            meta, lim, btile, blk, stream, _phi_pow(), _phi_mom(),
-            g_color, gadep, g_color, gadep,
+            meta, lim, btile, blk, stream, _phi_pm(), gct, gct,
         )
         if reduction == "perm":
             per_gauss = segment_reduce_by_perm(
@@ -1634,9 +1653,7 @@ def _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret):
             grid=(nc,),
             in_specs=[
                 _stream_spec(chunk),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
-                pl.BlockSpec((1, 8, NPIX), _tile_of),
+                pl.BlockSpec((1, 16, NPIX), _tile_of),
             ],
             out_specs=[_out_chunk_spec(FROWS, chunk)],
             scratch_shapes=_common_scratch()
@@ -1833,10 +1850,8 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
     def raster_bwd(res, g):
         stream, hist, meta, lim, blk, slot_pos, slot_off, color, aux = res
         g_color, g_aux = g
-        gadep = _ga_gdep_blocks(g_color, g_aux, color, aux)
-        (ginst,) = bwd_call(
-            meta, lim, blk, stream, _phi_pow(), _phi_mom(), g_color, gadep,
-        )
+        gct = _ga_gdep_blocks(g_color, g_aux, color, aux)
+        (ginst,) = bwd_call(meta, lim, blk, stream, _phi_pm(), gct)
         if reduction == "perm":
             per_gauss = segment_reduce_by_perm(
                 ginst, slot_pos, slot_off, value_rows
@@ -1935,9 +1950,17 @@ def fisher_moments(
         _phi_pow(),
     )
     g_color = jnp.broadcast_to(seed[None, :, None], color.shape)
+    gtot = jnp.sum(color * g_color, axis=1)  # (T, NPIX)
+    gct = jnp.concatenate(
+        [
+            g_color,
+            gtot[:, None, :],
+            jnp.zeros((color.shape[0], 7, NPIX), jnp.float32),
+        ],
+        axis=1,
+    )
     (per_inst,) = fish_call(
-        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
-        g_color, color, aux,
+        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream, gct,
     )
     mom = segment_reduce_by_key(
         per_inst, FKEY_ROW, binned.gid_hist, tuple(range(16))

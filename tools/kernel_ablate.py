@@ -334,6 +334,14 @@ def main():
                                 pr._phi_mom())
                 elif stage == "dma_tile":
                     (g,) = call(meta, lim, b, stream, g_color, gadep)
+                elif stage == "full":
+                    # merged-input bwd signature (post input-merge)
+                    gct = jnp.concatenate(
+                        [g_color, gadep[:, 0:2],
+                         jnp.zeros((g_color.shape[0], 6, NPIX), jnp.float32)],
+                        axis=1,
+                    )
+                    (g,) = call(meta, lim, b, stream, pr._phi_pm(), gct)
                 else:
                     (g,) = call(meta, lim, b, stream, pr._phi_pow(),
                                 pr._phi_mom(), g_color, gadep)
