@@ -72,6 +72,8 @@ def parse_mode(base, mode: str | None):
             base = dataclasses.replace(base, scan_impl=tok)
         elif tok in ("packed", "aligned"):
             base = dataclasses.replace(base, layout=tok)
+        elif tok.startswith("g") and tok[1:].isdigit():
+            base = dataclasses.replace(base, grid_group=int(tok[1:]))
         elif tok.startswith("c") and tok[1:].isdigit():
             base = dataclasses.replace(base, chunk=int(tok[1:]))
         elif tok == "notrim":

@@ -88,6 +88,14 @@ class RasterConfig:
     #               the kernels composite two tiles per boundary chunk with
     #               a segmented MXU transmittance scan + scratch handoff.
     layout: str = "aligned"
+    # Chunks per BACKWARD Pallas grid step (aligned layout only). The
+    # grouped kernel unrolls G chunk bodies per step, reading G window +
+    # G per-tile blocks through per-sub-chunk index maps — the fixed
+    # per-grid-step cost (~0.6 us of the 1.5 us bwd step at 7.7k steps:
+    # block DMA bookkeeping, const re-fetch, semaphores —
+    # tools/kernel_ablate.py) is paid once per group. Exact for any value;
+    # 1 = the ungrouped kernels.
+    grid_group: int = 1
 
     @property
     def num_chunks(self) -> int:

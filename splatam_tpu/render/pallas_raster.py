@@ -900,18 +900,17 @@ def _ga_gdep_blocks(g_color, g_aux, color, aux):
     )
 
 
-def _bwd_kernel(
+def _bwd_chunk_body(
+    cabs,  # absolute chunk-table index of this sub-step
+    col0,  # static column offset of this chunk in the output block
     meta_ref,
     lim_ref,
-    blk_ref,
-    inst_ref,  # (ROWS, chunk)
-    phipm_ref,  # (2*NPIX, 27) bf16: rows [0, NPIX) power basis, rows
-    #             [NPIX, 2*NPIX) moment basis (27-col-padded) — one merged
-    #             constant block instead of two (_phi_pm_host)
+    phipm_ref,  # (2*NPIX, 27) bf16 merged power+moment basis (_phi_pm_host)
     gct_ref,  # (1, 16, NPIX) merged per-tile input (_ga_gdep_blocks):
     #           rows 0-7 upstream dL/d color, row 8 dL/d median depth,
     #           row 9 ga
-    ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
+    inst_ref,  # (ROWS, chunk) this chunk's stream window
+    ginst_ref,  # (ROWS, >= col0 + chunk) output block
     t_run_sc,
     accwgc_sc,  # (NPIX, 1) scratch: running prefix of w * gc
     alive_sc,
@@ -923,8 +922,12 @@ def _bwd_kernel(
     scan_impl: str = "mxu",
     need_depth: bool = True,
 ):
-    c = pl.program_id(0)
-    t, first, skip, lim = _meta(meta_ref, lim_ref, c)
+    """One chunk's backward step — shared by the 1-chunk-per-grid-step
+    kernel and the grouped (grid_group > 1) kernel, which unrolls G of
+    these per grid step to amortize the fixed per-step cost
+    (tools/kernel_ablate.py: ~0.6 us of the 1.5 us bwd step is block
+    DMA/bookkeeping, paid per grid step)."""
+    t, first, skip, lim = _meta(meta_ref, lim_ref, cabs)
 
     @pl.when(first == 1)
     def _():
@@ -939,10 +942,9 @@ def _bwd_kernel(
 
     @pl.when(jnp.logical_not(run))
     def _():
-        ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
-        ginst_ref[ROW_GID : ROW_GID + 1, :] = _row_key(
-            inst_ref[:], skip, lim, chunk
-        )
+        ginst_ref[:, col0 : col0 + chunk] = jnp.zeros(
+            (ROWS, chunk), jnp.float32
+        ).at[ROW_GID].set(_row_key(inst_ref[:], skip, lim, chunk)[0])
 
     @pl.when(run)
     def _():
@@ -1060,11 +1062,74 @@ def _bwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (NFEAT_PAD, C)
-        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
+        ginst_ref[:, col0 : col0 + chunk] = jnp.concatenate(
+            [grows, gfeat], axis=0
+        )
 
         t_run_sc[:] = new_t_run
         alive_sc[0] = (jnp.max(new_t_run) > 0.0).astype(jnp.int32)
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
+
+
+def _bwd_kernel(
+    meta_ref,
+    lim_ref,
+    blk_ref,
+    inst_ref,  # (ROWS, chunk)
+    phipm_ref,  # (2*NPIX, 27) bf16 merged basis block
+    gct_ref,  # (1, 16, NPIX) merged per-tile input
+    ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
+    t_run_sc,
+    accwgc_sc,
+    alive_sc,
+    gdep_sc,
+    ga_sc,
+    *,
+    grid_x: int,
+    chunk: int,
+    scan_impl: str = "mxu",
+    need_depth: bool = True,
+):
+    c = pl.program_id(0)
+    _bwd_chunk_body(
+        c, 0, meta_ref, lim_ref, phipm_ref, gct_ref, inst_ref, ginst_ref,
+        t_run_sc, accwgc_sc, alive_sc, gdep_sc, ga_sc,
+        grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
+        need_depth=need_depth,
+    )
+
+
+def _bwd_kernel_grouped(
+    meta_ref,
+    lim_ref,
+    blk_ref,
+    *refs,  # G window refs, phipm, G gct refs, ginst, then 5 scratch refs
+    group: int,
+    grid_x: int,
+    chunk: int,
+    scan_impl: str = "mxu",
+    need_depth: bool = True,
+):
+    """grid_group > 1: G sequential chunks per grid step (aligned layout).
+
+    Same math and carries as _bwd_kernel — the G window/per-tile blocks
+    arrive as G separate BlockSpec inputs (index maps at G*c + g), the
+    output block covers the G chunks' columns, and the fixed per-step cost
+    (DMA bookkeeping, const re-fetch, grid semaphores) is paid once per
+    group instead of once per chunk."""
+    insts = refs[:group]
+    phipm_ref = refs[group]
+    gcts = refs[group + 1 : 2 * group + 1]
+    ginst_ref = refs[2 * group + 1]
+    scratch = refs[2 * group + 2 :]
+    c = pl.program_id(0)
+    for g in range(group):
+        _bwd_chunk_body(
+            group * c + g, g * chunk, meta_ref, lim_ref, phipm_ref,
+            gcts[g], insts[g], ginst_ref, *scratch,
+            grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
+            need_depth=need_depth,
+        )
 
 
 def _bwd_kernel_packed(
@@ -1495,6 +1560,53 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu",
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _make_bwd_call_grouped(nc, num_tiles, grid_x, chunk, interpret, group,
+                           scan_impl="mxu", need_depth=True):
+    """Grouped bwd pallas_call: grid = nc/group, G window + G per-tile
+    blocks per step (see _bwd_kernel_grouped). ``nc`` must be a multiple of
+    ``group`` (rasterize_tiles_pallas pads the chunk tables)."""
+
+    def stream_spec(g):
+        return pl.BlockSpec(
+            (ROWS, chunk),
+            lambda c, meta, lim, blk, g=g: (0, blk[group * c + g]),
+        )
+
+    def gct_spec(g):
+        return pl.BlockSpec(
+            (1, 16, NPIX),
+            lambda c, meta, lim, blk, g=g: (meta[group * c + g] >> 1, 0, 0),
+        )
+
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_grouped, group=group, grid_x=grid_x, chunk=chunk,
+            scan_impl=scan_impl, need_depth=need_depth,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nc // group,),
+            in_specs=[stream_spec(g) for g in range(group)]
+            + [
+                pl.BlockSpec(
+                    (2 * NPIX, 27), lambda c, meta, lim, blk: (0, 0)
+                ),
+            ]
+            + [gct_spec(g) for g in range(group)],
+            out_specs=[
+                pl.BlockSpec(
+                    (ROWS, group * chunk), lambda c, meta, lim, blk: (0, c)
+                )
+            ],
+            scratch_shapes=_common_scratch()
+            + [pltpu.VMEM((NPIX, 1), jnp.float32)] * 2,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
+        interpret=interpret,
+    )
+
+
 def _tile_of4(c, meta, lim, btile, blk):
     return (meta[c] >> 1, 0, 0)
 
@@ -1806,7 +1918,8 @@ def segment_reduce_by_scatter(
 
 @functools.lru_cache(maxsize=32)
 def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
-                    reduction="sort", scan_impl="mxu", carry_depth=True):
+                    reduction="sort", scan_impl="mxu", carry_depth=True,
+                    grid_group=1):
     """custom-vjp'd rasterize: (N, ROWS) attrs -> (color, aux) per tile.
 
     The vjp boundary sits at the per-gaussian attribute table, so neither
@@ -1823,10 +1936,17 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
         nc, num_tiles, grid_x, chunk, interpret, scan_impl,
         need_depth=carry_depth,
     )
-    bwd_call = _make_bwd_call(
-        nc, num_tiles, grid_x, chunk, interpret, scan_impl,
-        need_depth=carry_depth,
-    )
+    if grid_group > 1:
+        assert nc % grid_group == 0, (nc, grid_group)
+        bwd_call = _make_bwd_call_grouped(
+            nc, num_tiles, grid_x, chunk, interpret, grid_group, scan_impl,
+            need_depth=carry_depth,
+        )
+    else:
+        bwd_call = _make_bwd_call(
+            nc, num_tiles, grid_x, chunk, interpret, scan_impl,
+            need_depth=carry_depth,
+        )
     # carry_depth=False drops the median-depth gradient row from the
     # reduction (callers whose loss provably has a zero median-depth
     # cotangent — the SLAM losses use the BLENDED depth channel); each
@@ -1851,7 +1971,13 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
         stream, hist, meta, lim, blk, slot_pos, slot_off, color, aux = res
         g_color, g_aux = g
         gct = _ga_gdep_blocks(g_color, g_aux, color, aux)
-        (ginst,) = bwd_call(meta, lim, blk, stream, _phi_pm(), gct)
+        if grid_group > 1:
+            (ginst,) = bwd_call(
+                meta, lim, blk, *([stream] * grid_group), _phi_pm(),
+                *([gct] * grid_group),
+            )
+        else:
+            (ginst,) = bwd_call(meta, lim, blk, stream, _phi_pm(), gct)
         if reduction == "perm":
             per_gauss = segment_reduce_by_perm(
                 ginst, slot_pos, slot_off, value_rows
@@ -1979,6 +2105,7 @@ def rasterize_tiles_pallas(
     reduction: str = "sort",
     scan_impl: str = "mxu",
     carry_depth: bool = True,
+    grid_group: int = 1,
 ) -> PallasRasterOut:
     """Run the Pallas per-chunk compositing kernels (differentiable).
 
@@ -1986,7 +2113,8 @@ def rasterize_tiles_pallas(
     reduction and ``carry_depth=False`` drops the median-depth row: callers
     may pass fewer than the rendered channel count ONLY when the upstream
     cotangents for the dropped rows are structurally zero (their per-
-    gaussian grads then come back as exact zeros).
+    gaussian grads then come back as exact zeros). ``grid_group`` batches
+    that many chunks per backward grid step (aligned layout only).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1994,6 +2122,23 @@ def rasterize_tiles_pallas(
         # a cached BinnedCSR from a 'sort' config has no slot indices
         reduction = "sort"
     nc = binned.chunk_meta.shape[0]
+    if grid_group > 1 and not hasattr(binned, "chunk_btile"):
+        pad = -nc % grid_group
+        if pad:
+            # pad chunks repeat the LAST chunk's tile with the first bit
+            # CLEARED and skip == lim == 0: the run gate is false (zero
+            # grad rows keyed BIG_KEY, scratch untouched), and the fwd
+            # kernel's once-per-tile aux write simply moves from the last
+            # real chunk to the final pad chunk of the same tile —
+            # a zero-padded tile-0 meta would instead hijack tile 0's aux
+            # block with the last tile's scratch
+            tail = (binned.chunk_meta[-1:] & ~1).repeat(pad)
+            binned = binned._replace(
+                chunk_meta=jnp.concatenate([binned.chunk_meta, tail]),
+                chunk_lim=jnp.pad(binned.chunk_lim, (0, pad)),
+                chunk_blk=jnp.pad(binned.chunk_blk, (0, pad), mode="edge"),
+            )
+            nc += pad
     dummy = jnp.zeros(1, jnp.int32)
     if hasattr(binned, "chunk_btile"):  # BinnedPacked stream
         fn = _make_raster_fn_packed(
@@ -2009,7 +2154,7 @@ def rasterize_tiles_pallas(
         return PallasRasterOut(color=color, aux=aux)
     fn = _make_raster_fn(
         nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction, scan_impl,
-        carry_depth,
+        carry_depth, grid_group,
     )
     color, aux = fn(
         attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
