@@ -137,7 +137,8 @@ def render_fisher(
     grid_y = (cam.image_height + TILE - 1) // TILE
     seed = jnp.zeros(NFEAT_PAD, jnp.float32).at[:3].set(seed_value)
     mom = fisher_moments(
-        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, seed
+        attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, seed,
+        grid_group=cfg_fisher.grid_group,
     )  # (N, 16)
 
     # close the chain to 3D means: F_d = (J^T M J)_dd per gaussian, folded

@@ -1364,10 +1364,11 @@ def _bwd_kernel_packed(
         )
 
 
-def _fisher_kernel(
+def _fisher_chunk_body(
+    cabs,  # absolute chunk-table index of this sub-step
+    col0,  # static column offset in the output block
     meta_ref,
     lim_ref,
-    blk_ref,
     inst_ref,  # (ROWS, chunk)
     gct_ref,  # (1, 16, NPIX) merged per-tile input: rows 0-7 = seed
     #           dL/d color (e.g. 1e-3 on RGB), row 8 = gtot (the per-pixel
@@ -1396,8 +1397,7 @@ def _fisher_kernel(
     directly. This equals the CUDA per-pixel chain because J is
     per-gaussian, not per-pixel.
     """
-    c = pl.program_id(0)
-    t, first, skip, lim = _meta(meta_ref, lim_ref, c)
+    t, first, skip, lim = _meta(meta_ref, lim_ref, cabs)
 
     @pl.when(first == 1)
     def _():
@@ -1410,10 +1410,9 @@ def _fisher_kernel(
 
     @pl.when(jnp.logical_not(run))
     def _():
-        fish_ref[:] = jnp.zeros((FROWS, chunk), jnp.float32)
-        fish_ref[FKEY_ROW : FKEY_ROW + 1, :] = _row_key(
-            inst_ref[:], skip, lim, chunk
-        )
+        fish_ref[:, col0 : col0 + chunk] = jnp.zeros(
+            (FROWS, chunk), jnp.float32
+        ).at[FKEY_ROW].set(_row_key(inst_ref[:], skip, lim, chunk)[0])
 
     @pl.when(run)
     def _():
@@ -1465,7 +1464,7 @@ def _fisher_kernel(
             return jnp.sum(x, axis=0, keepdims=True)
 
         moments = [rsum(v[a] * v[b]) for a in range(5) for b in range(a, 5)]
-        fish_ref[:] = jnp.concatenate(
+        fish_ref[:, col0 : col0 + chunk] = jnp.concatenate(
             moments
             + [
                 rsum(dop * dop),
@@ -1478,6 +1477,37 @@ def _fisher_kernel(
         t_run_sc[:] = new_t_run
         alive_sc[0] = (jnp.max(new_t_run) > 0.0).astype(jnp.int32)
         accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
+
+
+
+
+def _fisher_kernel(
+    meta_ref, lim_ref, blk_ref, inst_ref, gct_ref, fish_ref,
+    t_run_sc, accwgc_sc, alive_sc, gtot_sc, *, grid_x: int, chunk: int,
+):
+    c = pl.program_id(0)
+    _fisher_chunk_body(
+        c, 0, meta_ref, lim_ref, inst_ref, gct_ref, fish_ref,
+        t_run_sc, accwgc_sc, alive_sc, gtot_sc, grid_x=grid_x, chunk=chunk,
+    )
+
+
+def _fisher_kernel_grouped(
+    meta_ref, lim_ref, blk_ref, *refs,
+    group: int, grid_x: int, chunk: int,
+):
+    """grid_group > 1 fisher: G chunks per grid step (see
+    _bwd_kernel_grouped — same fixed-per-step-cost amortization)."""
+    insts = refs[:group]
+    gcts = refs[group : 2 * group]
+    fish_ref = refs[2 * group]
+    scratch = refs[2 * group + 1 :]
+    c = pl.program_id(0)
+    for g in range(group):
+        _fisher_chunk_body(
+            group * c + g, g * chunk, meta_ref, lim_ref, insts[g], gcts[g],
+            fish_ref, *scratch, grid_x=grid_x, chunk=chunk,
+        )
 
 
 def _common_scratch():
@@ -1754,6 +1784,45 @@ def _make_raster_fn_packed(nc, num_tiles, grid_x, chunk, nfeat, interpret,
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fisher_call_grouped(nc, num_tiles, grid_x, chunk, interpret,
+                              group):
+    """Grouped fisher pallas_call (see _make_bwd_call_grouped)."""
+
+    def stream_spec(g):
+        return pl.BlockSpec(
+            (ROWS, chunk),
+            lambda c, meta, lim, blk, g=g: (0, blk[group * c + g]),
+        )
+
+    def gct_spec(g):
+        return pl.BlockSpec(
+            (1, 16, NPIX),
+            lambda c, meta, lim, blk, g=g: (meta[group * c + g] >> 1, 0, 0),
+        )
+
+    return pl.pallas_call(
+        functools.partial(
+            _fisher_kernel_grouped, group=group, grid_x=grid_x, chunk=chunk,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nc // group,),
+            in_specs=[stream_spec(g) for g in range(group)]
+            + [gct_spec(g) for g in range(group)],
+            out_specs=[
+                pl.BlockSpec(
+                    (FROWS, group * chunk), lambda c, meta, lim, blk: (0, c)
+                )
+            ],
+            scratch_shapes=_common_scratch()
+            + [pltpu.VMEM((NPIX, 1), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((FROWS, nc * chunk), jnp.float32)],
+        interpret=interpret,
+    )
 
 
 @functools.lru_cache(maxsize=32)
@@ -2059,17 +2128,35 @@ def fisher_moments(
     chunk: int,
     seed: jax.Array,  # (NFEAT_PAD,) per-channel backward seed (e.g. 1e-3 RGB)
     interpret: bool | None = None,
+    grid_group: int = 1,
 ) -> jax.Array:
     """Per-gaussian (N, 16) squared-gradient moments (see _fisher_kernel).
 
     Cols 0-14: upper triangle of sum_p v v^T over screen quantities
-    (x, y, conic a/b/c); col 15: sum_p (d opacity)^2.
+    (x, y, conic a/b/c); col 15: sum_p (d opacity)^2. ``grid_group``
+    batches that many chunks per fisher grid step (same amortization as
+    the grouped backward).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nc = binned.chunk_meta.shape[0]
+    if grid_group > 1:
+        pad = -nc % grid_group
+        if pad:  # see rasterize_tiles_pallas: first-cleared edge pad
+            tail = (binned.chunk_meta[-1:] & ~1).repeat(pad)
+            binned = binned._replace(
+                chunk_meta=jnp.concatenate([binned.chunk_meta, tail]),
+                chunk_lim=jnp.pad(binned.chunk_lim, (0, pad)),
+                chunk_blk=jnp.pad(binned.chunk_blk, (0, pad), mode="edge"),
+            )
+            nc += pad
     fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
-    fish_call = _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret)
+    if grid_group > 1:
+        fish_call = _make_fisher_call_grouped(
+            nc, num_tiles, grid_x, chunk, interpret, grid_group
+        )
+    else:
+        fish_call = _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret)
     stream = _build_stream(attrs, binned.sorted_gid, chunk)
     color, aux = fwd_call(
         binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
@@ -2085,9 +2172,16 @@ def fisher_moments(
         ],
         axis=1,
     )
-    (per_inst,) = fish_call(
-        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream, gct,
-    )
+    if grid_group > 1:
+        (per_inst,) = fish_call(
+            binned.chunk_meta, binned.chunk_lim, binned.chunk_blk,
+            *([stream] * grid_group), *([gct] * grid_group),
+        )
+    else:
+        (per_inst,) = fish_call(
+            binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
+            gct,
+        )
     mom = segment_reduce_by_key(
         per_inst, FKEY_ROW, binned.gid_hist, tuple(range(16))
     )
