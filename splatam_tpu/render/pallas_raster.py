@@ -942,9 +942,14 @@ def _bwd_chunk_body(
 
     @pl.when(jnp.logical_not(run))
     def _():
+        # two static-slice ref stores — a jnp .at[].set here traces to a
+        # scatter, which Mosaic cannot lower (interpret mode hides this)
         ginst_ref[:, col0 : col0 + chunk] = jnp.zeros(
             (ROWS, chunk), jnp.float32
-        ).at[ROW_GID].set(_row_key(inst_ref[:], skip, lim, chunk)[0])
+        )
+        ginst_ref[ROW_GID : ROW_GID + 1, col0 : col0 + chunk] = _row_key(
+            inst_ref[:], skip, lim, chunk
+        )
 
     @pl.when(run)
     def _():
@@ -1410,9 +1415,13 @@ def _fisher_chunk_body(
 
     @pl.when(jnp.logical_not(run))
     def _():
+        # static-slice ref stores, not .at[].set — see _bwd_chunk_body
         fish_ref[:, col0 : col0 + chunk] = jnp.zeros(
             (FROWS, chunk), jnp.float32
-        ).at[FKEY_ROW].set(_row_key(inst_ref[:], skip, lim, chunk)[0])
+        )
+        fish_ref[FKEY_ROW : FKEY_ROW + 1, col0 : col0 + chunk] = _row_key(
+            inst_ref[:], skip, lim, chunk
+        )
 
     @pl.when(run)
     def _():
