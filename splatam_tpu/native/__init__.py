@@ -25,15 +25,24 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # compile to a pid-unique temp path and rename into place: concurrent
+    # processes (pytest-xdist workers) may build simultaneously, and a
+    # reader dlopen-ing a half-written .so gets an OSError
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB,
+        "g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp,
         "-ljpeg", "-lpng", "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         print(f"[native] frame_loader build failed ({e}); using python decode")
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -51,7 +60,14 @@ def load_library() -> Optional[ctypes.CDLL]:
             if not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            # stale/corrupt .so (e.g. left by a killed build) — rebuild once
+            if not _build():
+                _build_failed = True
+                return None
+            lib = ctypes.CDLL(_LIB)
         lib.decode_jpeg_rgb_f32.restype = ctypes.c_int
         lib.decode_jpeg_rgb_f32.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--mode", type=str, default=None,
                     help="bench mode tokens, e.g. perm+roll+c256")
     ap.add_argument("--hlo", action="store_true", help="dump compiled HLO too")
+    ap.add_argument("--n", type=int, default=200_000,
+                    help="gaussian count (e.g. 900000 = SLAM map scale)")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +37,7 @@ def main():
     import bench
 
     print("setup (probe binning + sat-trim sizing)...", flush=True)
-    b = bench.setup(args.mode, iters=args.iters)
+    b = bench.setup(args.mode, iters=args.iters, n=args.n)
     run, gauss, sat0 = b["run"], b["gauss"], b["sat0"]
 
     if args.hlo:
