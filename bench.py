@@ -70,7 +70,7 @@ def parse_mode(base, mode: str | None):
             base = dataclasses.replace(base, reduction=tok)
         elif tok in ("mxu", "roll"):
             base = dataclasses.replace(base, scan_impl=tok)
-        elif tok in ("packed", "aligned"):
+        elif tok in ("packed", "aligned", "split"):
             base = dataclasses.replace(base, layout=tok)
         elif tok.startswith("g") and tok[1:].isdigit():
             base = dataclasses.replace(base, grid_group=int(tok[1:]))
@@ -130,17 +130,21 @@ def setup(
         sr = getattr(p, "stream_rows", None)
         return int(p.num_instances) if sr is None else int(sr)
 
+    def chunk_sizes(p):
+        # split layouts size the interior and tail chunk tables separately
+        if getattr(p, "tsl", None) is not None:
+            return dict(
+                chunks_used=int(p.used_interior),
+                chunks_tail=int(p.used_tail),
+            )
+        return dict(chunks_used=int(p.padded_total) // base.chunk)
+
     cfg0 = sized_config(total, base)
     # probe binning: the tile-alpha cull drops rect-corner instances, so the
     # post-cull stream / chunk-grid capacities (what kernels, gathers and
     # the gradient-reduction sort actually scale with) can be sized snugly
     probe = compute_binned(params, active, rot, tran, cam, cfg0)
-    cfg1 = sized_config(
-        total,
-        base,
-        num_kept=kept(probe),
-        chunks_used=int(probe.padded_total) // base.chunk,
-    )
+    cfg1 = sized_config(total, base, num_kept=kept(probe), **chunk_sizes(probe))
 
     gt_im = jnp.zeros((3, h, w), jnp.float32)
     gt_depth = jnp.full((1, h, w), 2.5, jnp.float32)
@@ -173,10 +177,7 @@ def setup(
         sat0 = probe_out.sat_depth
         probe2 = compute_binned(params, active, rot, tran, cam, cfg1, sat0)
         cfg = sized_config(
-            total,
-            base,
-            num_kept=kept(probe2),
-            chunks_used=int(probe2.padded_total) // base.chunk,
+            total, base, num_kept=kept(probe2), **chunk_sizes(probe2)
         )
     else:  # A/B token `notrim`: no saturation caps, untrimmed capacities
         num_tiles = ((w + 15) // 16) * ((h + 15) // 16)
@@ -185,7 +186,7 @@ def setup(
         cfg = cfg1
 
     tile_rank = None
-    if opts["align"] and base.layout != "packed":
+    if opts["align"] and base.layout == "aligned":
         # Default (A/B token `noalign` disables): chunk-align window
         # boundaries by reordering tile segments (binning.alignment_order)
         # and size the chunk grid to the aligned layout. The rank is fixed
@@ -199,10 +200,7 @@ def setup(
             tile_rank=jnp.asarray(tile_rank),
         )
         cfg = sized_config(
-            total,
-            base,
-            num_kept=kept(probe3),
-            chunks_used=int(probe3.padded_total) // base.chunk,
+            total, base, num_kept=kept(probe3), **chunk_sizes(probe3)
         )
 
     full_loss = make_loss(cfg)

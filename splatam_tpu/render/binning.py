@@ -87,7 +87,21 @@ class RasterConfig:
     #               one chunk each. ~25% fewer grid steps on SplaTAM scenes;
     #               the kernels composite two tiles per boundary chunk with
     #               a segmented MXU transmittance scan + scratch handoff.
+    #   'split'   — per-tile WHOLE chunks laid out back-to-back with zero
+    #               waste (the "interior" region), plus all tiles' sub-chunk
+    #               residues PAIRED two-per-chunk into a shared "tail"
+    #               region (bin_gaussians_split). Two Pallas calls per
+    #               direction: the interior call runs the plain aligned-step
+    #               math and hands each tile's end state to the tail call
+    #               through an HBM carry block; the tail call composites the
+    #               residue pairs with the segmented scan. ~34% fewer pair
+    #               slots than 'aligned' on SplaTAM scenes (+7% over the
+    #               K/chunk floor).
     layout: str = "aligned"
+    # Cap on tail-region chunks for layout='split' (None = num_tiles + 1,
+    # the one-residue-per-tile worst case). max_chunks caps the INTERIOR
+    # region there (None = max_stream/chunk).
+    max_chunks_tail: int | None = None
     # Chunks per BACKWARD Pallas grid step (aligned layout only). The
     # grouped kernel unrolls G chunk bodies per step, reading G window +
     # G per-tile blocks through per-sub-chunk index maps — the fixed
@@ -154,6 +168,7 @@ def sized_config(
     margin: float = 1.1,
     num_kept: int | None = None,
     chunks_used: int | None = None,
+    chunks_tail: int | None = None,
 ) -> RasterConfig:
     """Pre-size capacities from measured instance counts.
 
@@ -177,6 +192,9 @@ def sized_config(
         max_instances=rup(num_instances),
         max_stream=None if num_kept is None else rup(num_kept),
         max_chunks=None if chunks_used is None else int(chunks_used * margin) + 2,
+        max_chunks_tail=None
+        if chunks_tail is None
+        else int(chunks_tail * margin) + 2,
     )
 
 
@@ -769,6 +787,239 @@ def bin_gaussians_packed(
     )
 
 
+class BinnedSplit(NamedTuple):
+    """Split stream layout (layout='split'): zero-waste interiors + paired
+    residue tails.
+
+    Every tile's first ``chunk * (count // chunk)`` instances occupy WHOLE
+    chunks in the interior region (one tile per chunk, no window masking,
+    no pads — the K/chunk floor for that portion). The remaining
+    ``count % chunk`` residues are packed two-per-chunk into the tail
+    region, pairing large residues with small ones (sorted-halves) so most
+    pairs fit one chunk. The interior Pallas call writes each tile's end
+    state (transmittance / depth / prefix accumulators) to a per-tile HBM
+    carry block; the tail call seeds its segments from those carries.
+
+    On the bench scene this is 5522 grid steps vs 8374 aligned (floor
+    5172) — a −34% pair-slot cut, which is the kernels' whole cost model
+    (PROFILE.md: per-step fixed costs are pipeline-hidden; only pair slots
+    and ops/pair matter).
+    """
+
+    sorted_gid: jax.Array  # ((NCi+NCt)*chunk,) int32 gid per split-stream
+    # slot (pad slots arbitrary; kernels mask rows >= lim)
+    # interior tables (NCi,): same formats as BinnedCSR (skip always 0)
+    chunk_meta: jax.Array  # tile << 1 | first
+    chunk_lim: jax.Array  # 0 << 16 | lim (chunk for used, 0 for pads)
+    chunk_blk: jax.Array  # stream block index (== own index, capped)
+    # tail tables (NCt,): rows [0, send) = tile A's residue, [send, lim) =
+    # tile B's; flags say whether that tile HAS interiors (else the kernel
+    # seeds from the initial state, ignoring the garbage carry block)
+    tmeta: jax.Array  # tile_a << 1 | has_interior_a
+    tsl: jax.Array  # send << 16 | lim (lim 0 for pads)
+    tbt: jax.Array  # tile_b << 1 | has_interior_b (tile_b = tile_a when
+    # the chunk holds a single residue)
+    tblk: jax.Array  # stream block index (NCi_cap + own index)
+    # (T,) compose masks: which output array owns each tile's final state
+    mask_int: jax.Array  # tile has interior chunks
+    mask_a: jax.Array  # tile is some tail chunk's A segment
+    mask_b: jax.Array  # tile is some tail chunk's B segment
+    counts: jax.Array  # (T,) int32 instances per tile
+    gid_hist: jax.Array  # (N,) int32 surviving instances per gaussian
+    num_instances: jax.Array  # () int32
+    padded_total: jax.Array  # () int32 used chunks (both regions) * chunk
+    overflow: jax.Array  # () bool
+    stream_rows: jax.Array = None  # alias of padded_total (sizer metric)
+    used_interior: jax.Array = None  # () int32 interior chunks in use
+    used_tail: jax.Array = None  # () int32 tail chunks in use
+    slot_pos: jax.Array | None = None  # unsupported (reduction='sort' only)
+    slot_off: jax.Array | None = None
+
+
+def bin_gaussians_split(
+    proj: Projected,
+    cam: Camera,
+    cfg: RasterConfig,
+    opacities: jax.Array | None = None,
+    depth_cap: jax.Array | None = None,
+) -> BinnedSplit:
+    """Split-stream binning (see BinnedSplit).
+
+    Same expansion/cull/sort as the other layouts; only the placement
+    differs. Fully vectorized: the residue pairing is "sorted halves"
+    (sort residues descending, pair rank i with rank R-1-i, split the pair
+    into two chunks when the sum exceeds ``chunk``) — within ~2% of greedy
+    best-fit on SplaTAM scenes and free of sequential scans.
+    """
+    chunk = cfg.chunk
+    (
+        sorted_tile, sorted_gid, _, tile_id, total, num_tiles,
+        total_kept, kept_hist, _,
+    ) = _expand_instances(
+        proj, cam, cfg, opacities, carry_slot=False,
+        depth_cap=depth_cap, tile_rank=None,
+    )
+    k = cfg.max_instances
+    ks = cfg.max_stream or k
+    nci = cfg.max_chunks or (ks // chunk)
+    nct = cfg.max_chunks_tail or (num_tiles + 1)
+    t_len = num_tiles
+
+    tq = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tq, side="left").astype(
+        jnp.int32
+    )
+    counts = tile_start[1:] - tile_start[:-1]
+    starts = tile_start[:-1]
+    q = counts // chunk  # whole (interior) chunks per tile
+    r = counts % chunk  # residue rows per tile
+
+    # ---- interior chunk tables -------------------------------------------
+    ioff = jnp.cumsum(q) - q  # exclusive: first interior chunk per tile
+    used_i = jnp.sum(q)
+    c_idx = jnp.arange(nci, dtype=jnp.int32)
+    itile = jnp.repeat(
+        jnp.arange(t_len, dtype=jnp.int32), q, total_repeat_length=nci
+    )
+    in_use_i = c_idx < used_i
+    # repeat pads with arange's LAST element (tile T-1), which is usually
+    # NOT the last tile with interiors — the _is_last aux/carry write for
+    # the last real tile would land on tile T-1's blocks. Pin pads to the
+    # last USED tile id instead (its lim stays 0, so only the write
+    # placement changes).
+    itile = jnp.where(
+        in_use_i, itile, jnp.take(itile, jnp.clip(used_i - 1, 0, nci - 1))
+    )
+    local = c_idx - jnp.take(ioff, itile)
+    prev_it = jnp.concatenate([jnp.full(1, -1, jnp.int32), itile[:-1]])
+    ifirst = ((itile != prev_it) & in_use_i).astype(jnp.int32)
+    imeta = (itile << 1) | ifirst
+    ilim = jnp.where(in_use_i, chunk, 0).astype(jnp.int32)  # skip == 0
+    iblk = jnp.minimum(c_idx, nci + nct - 1)
+    isrc = jnp.take(starts, itile) + local * chunk
+
+    # ---- tail pairing (sorted halves over nonzero residues) --------------
+    tiles = jnp.arange(t_len, dtype=jnp.int32)
+    key = jnp.where(r > 0, -r, 1)
+    _, ord_tiles = jax.lax.sort(
+        (key.astype(jnp.int32), tiles), num_keys=1, is_stable=True
+    )
+    rs = jnp.take(r, ord_tiles)  # residues descending; zeros at the end
+    R = jnp.sum((r > 0).astype(jnp.int32))
+    i_idx = jnp.arange(t_len, dtype=jnp.int32)
+    mirror = R - 1 - i_idx  # partner rank (negative past R)
+    r_partner = jnp.take(rs, jnp.clip(mirror, 0, t_len - 1))
+    fits = (rs + r_partner) <= chunk
+    is_lead = (i_idx <= mirror) & (i_idx < R)
+    npair = jnp.where(
+        is_lead, jnp.where((i_idx < mirror) & ~fits, 2, 1), 0
+    ).astype(jnp.int32)
+    coff = jnp.cumsum(npair) - npair
+    used_t = jnp.sum(npair)
+    coff_lead = jnp.take(coff, jnp.clip(mirror, 0, t_len - 1))
+    cid = jnp.where(
+        is_lead, coff, coff_lead + jnp.where(fits, 0, 1)
+    )
+    valid_rank = i_idx < R
+    role_b = (~is_lead) & fits & valid_rank  # second segment, shared chunk
+
+    hasint_r = (jnp.take(q, ord_tiles) > 0).astype(jnp.int32)
+    src_r = jnp.take(starts, ord_tiles) + jnp.take(q, ord_tiles) * chunk
+    vals = jnp.stack([ord_tiles, rs, hasint_r, src_r], axis=-1)  # (T, 4)
+    cid_a = jnp.where(valid_rank & ~role_b, cid, nct)
+    cid_b = jnp.where(role_b, cid, nct)
+    A = jnp.zeros((nct + 1, 4), jnp.int32).at[cid_a].set(vals, mode="drop")
+    B = jnp.zeros((nct + 1, 4), jnp.int32).at[cid_b].set(vals, mode="drop")
+    A, B = A[:nct], B[:nct]
+    has_b = B[:, 1] > 0
+    # single-residue chunks: point the B side at the A tile (carry/const
+    # fetches need a valid block; send == lim keeps it inert)
+    btile = jnp.where(has_b, B[:, 0], A[:, 0])
+    bhas = jnp.where(has_b, B[:, 2], A[:, 2])
+    ct_idx = jnp.arange(nct, dtype=jnp.int32)
+    in_use_t = ct_idx < used_t
+    # pads keep the LAST used chunk's tiles (so their output blocks never
+    # move off the real data) with lim forced to 0 (no re-run, no
+    # duplicate gradient rows)
+    edge = jnp.clip(used_t - 1, 0, nct - 1)
+
+    def _pad(v):
+        return jnp.where(in_use_t, v, jnp.take(v, edge))
+
+    tmeta = _pad((A[:, 0] << 1) | A[:, 2])
+    tbt = _pad((btile << 1) | bhas)
+    send_t = jnp.where(in_use_t, A[:, 1], 0)
+    lim_t = jnp.where(in_use_t, A[:, 1] + jnp.where(has_b, B[:, 1], 0), 0)
+    tsl = (send_t << 16) | lim_t
+    tblk = jnp.minimum(nci + ct_idx, nci + nct - 1)
+    srca_t = A[:, 3]
+    srcb_t = jnp.where(has_b, B[:, 3], 0)
+
+    # ---- compose masks ----------------------------------------------------
+    mask_int = q > 0
+    a_tiles = jnp.where(valid_rank & ~role_b, ord_tiles, t_len)
+    b_tiles = jnp.where(role_b, ord_tiles, t_len)
+    mask_a = (
+        jnp.zeros(t_len + 1, jnp.bool_).at[a_tiles].set(True, mode="drop")
+    )[:t_len]
+    mask_b = (
+        jnp.zeros(t_len + 1, jnp.bool_).at[b_tiles].set(True, mode="drop")
+    )[:t_len]
+
+    # ---- split gid stream (chunk-table gather, no K-sized scatter) -------
+    ncall = nci + nct
+    send_all = jnp.concatenate([ilim, send_t.astype(jnp.int32)])
+    lim_all = jnp.concatenate([ilim, lim_t.astype(jnp.int32)])
+    offa_all = jnp.concatenate(
+        [isrc - c_idx * chunk, srca_t - (nci + ct_idx) * chunk]
+    )
+    offb_all = jnp.concatenate(
+        [jnp.zeros(nci, jnp.int32),
+         srcb_t - send_t - (nci + ct_idx) * chunk]
+    )
+    ctable = jnp.stack([send_all, lim_all, offa_all, offb_all], axis=-1)
+    pos = jnp.arange(ncall * chunk, dtype=jnp.int32)
+    crow = jnp.take(
+        ctable, jax.lax.optimization_barrier(pos // chunk), axis=0
+    )
+    crow = jax.lax.optimization_barrier(crow)
+    rr = pos % chunk
+    src = jnp.clip(
+        pos + jnp.where(rr < crow[:, 0], crow[:, 2], crow[:, 3]), 0, k - 1
+    )
+    gid_split = jnp.where(
+        rr < crow[:, 1],
+        jnp.take(sorted_gid, jax.lax.optimization_barrier(src)),
+        0,
+    )
+
+    used = (used_i + used_t) * chunk
+    return BinnedSplit(
+        sorted_gid=gid_split,
+        chunk_meta=imeta,
+        chunk_lim=ilim,  # skip == 0: packed form is just lim
+        chunk_blk=iblk,
+        tmeta=tmeta,
+        tsl=tsl,
+        tbt=tbt,
+        tblk=tblk,
+        mask_int=mask_int,
+        mask_a=mask_a,
+        mask_b=mask_b,
+        counts=counts,
+        gid_hist=kept_hist,
+        num_instances=total_kept,
+        padded_total=used,
+        overflow=(total > k)
+        | (total_kept > ks)
+        | (used_i > nci)
+        | (used_t > nct),
+        stream_rows=used,
+        used_interior=used_i,
+        used_tail=used_t,
+    )
+
+
 def bin_gaussians_csr(
     proj: Projected,
     cam: Camera,
@@ -792,6 +1043,8 @@ def bin_gaussians_csr(
     """
     if cfg.layout == "packed":
         return bin_gaussians_packed(proj, cam, cfg, opacities, depth_cap)
+    if cfg.layout == "split":
+        return bin_gaussians_split(proj, cam, cfg, opacities, depth_cap)
     chunk = cfg.chunk
     (
         sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,

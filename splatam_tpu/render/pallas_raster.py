@@ -493,6 +493,43 @@ def _chunk_transmittance_packed(alpha, t_run, send, chunk, terms=3):
     return t_before, t_cum, live, state_a, state_b
 
 
+def _chunk_transmittance_split(alpha, t_a, t_b, send, chunk, terms=2):
+    """Segmented transmittance for SPLIT-layout tail chunks.
+
+    Like _chunk_transmittance_packed, but BOTH segments continue existing
+    recursions: columns [0, send) seed from ``t_a`` (tile A's interior-end
+    carry, death in its sign) and columns [send, lim) from ``t_b``. Both
+    segments END their tiles here (residues are final), so the returned
+    states are the tiles' final transmittances. An EMPTY b segment
+    (send == lim) returns ``t_b`` unchanged.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    cola = col < send
+    log1m = jnp.log(1.0 - alpha)
+    excl = _cumsum_mxu(log1m, _seg_mask(send, chunk, strict=True), terms)
+    base = jnp.where(cola, t_a, t_b)
+    t_before = base * jnp.exp(excl)
+    t_cum = t_before * (1.0 - alpha)
+    live = t_cum >= T_STOP
+    big = jnp.float32(3.0e38)
+
+    def _state(seg_mask, t_in):
+        m = jnp.min(
+            jnp.where(seg_mask, jnp.where(live, t_cum, t_in), big),
+            axis=1, keepdims=True,
+        )
+        t_end = jnp.min(
+            jnp.where(seg_mask, t_cum, big), axis=1, keepdims=True
+        )
+        return jnp.where(
+            t_end >= big * 0.5,  # empty segment: state unchanged
+            t_in,
+            jnp.where(t_end < T_STOP, -jnp.abs(m), m),
+        )
+
+    return t_before, t_cum, live, _state(cola, t_a), _state(~cola, t_b)
+
+
 def _chunk_alpha_packed(blk, phi27, stile, btile, send, lim, chunk, grid_x):
     """_chunk_alpha_mxu with PER-COLUMN tile origins (packed layout).
 
@@ -573,16 +610,21 @@ def _fwd_kernel(
     phi_ref,  # (NPIX, 27) bf16 constant power basis (_phi_pow_host)
     color_ref,  # (1, NFEAT_PAD, NPIX) block of the owning tile (channel-major)
     aux_ref,  # (1, 8, NPIX): row 0=median depth, row 1=final T, row 2=sat depth
-    t_run_sc,  # (NPIX, 1) f32 scratch: running transmittance; sign = death
-    depth_sc,  # (NPIX, 1) f32 scratch: median depth accumulator
-    alive_sc,  # (1,) SMEM: 0 when every pixel of the tile is saturated
-    satd_sc,  # (1,) SMEM f32: max stream depth actually processed this tile
-    *,
+    *rest,  # [carry_ref when emit_carry] + scratch (t_run, depth, alive, satd)
     grid_x: int,
     chunk: int,
     scan_impl: str = "mxu",
     need_depth: bool = True,
+    emit_carry: bool = False,
 ):
+    if emit_carry:
+        # split-layout interior call: carry_ref is a (1, 8, NPIX) per-tile
+        # HBM block handing the tile's end state to the tail call — row 0 =
+        # t_run (SIGNED, death encoding intact), row 1 = median-depth
+        # accumulator, row 2 = saturation-depth candidate (broadcast)
+        carry_ref, t_run_sc, depth_sc, alive_sc, satd_sc = rest
+    else:
+        t_run_sc, depth_sc, alive_sc, satd_sc = rest
     c = pl.program_id(0)
     nc = pl.num_programs(0)
     t, first, skip, lim = _meta(meta_ref, lim_ref, c)
@@ -665,6 +707,15 @@ def _fwd_kernel(
             ],
             axis=0,
         )
+        if emit_carry:
+            carry_ref[0] = jnp.concatenate(
+                [
+                    jnp.concatenate([t_run_sc[:], depth_sc[:]], axis=1).T,
+                    jnp.full((1, NPIX), satd_sc[0], jnp.float32),
+                    jnp.zeros((5, NPIX), jnp.float32),
+                ],
+                axis=0,
+            )
 
 
 def _fwd_kernel_packed(
@@ -1369,6 +1420,298 @@ def _bwd_kernel_packed(
         )
 
 
+def _bwd_kernel_interior(
+    meta_ref,
+    lim_ref,
+    blk_ref,
+    inst_ref,
+    phipm_ref,
+    gct_ref,
+    ginst_ref,
+    carry_ref,  # (1, 8, NPIX) out: row 0 = t_run (signed), row 1 = accwgc
+    t_run_sc,
+    accwgc_sc,
+    alive_sc,
+    gdep_sc,
+    ga_sc,
+    *,
+    grid_x: int,
+    chunk: int,
+    scan_impl: str = "mxu",
+    need_depth: bool = True,
+):
+    """Split-layout interior backward: the plain aligned step plus a
+    per-tile carry write (the tail call seeds its segments from it)."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    _bwd_chunk_body(
+        c, 0, meta_ref, lim_ref, phipm_ref, gct_ref, inst_ref, ginst_ref,
+        t_run_sc, accwgc_sc, alive_sc, gdep_sc, ga_sc,
+        grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
+        need_depth=need_depth,
+    )
+
+    @pl.when(_is_last(meta_ref, c, nc) == 1)
+    def _():
+        carry_ref[0] = jnp.concatenate(
+            [
+                jnp.concatenate([t_run_sc[:], accwgc_sc[:]], axis=1).T,
+                jnp.zeros((6, NPIX), jnp.float32),
+            ],
+            axis=0,
+        )
+
+
+def _fwd_kernel_tail(
+    tmeta_ref,  # scalar-prefetch (NCt,) int32: tile_a << 1 | has_interior_a
+    tsl_ref,  # scalar-prefetch (NCt,) int32: send << 16 | lim
+    tbt_ref,  # scalar-prefetch (NCt,) int32: tile_b << 1 | has_interior_b
+    tblk_ref,  # scalar-prefetch (NCt,) int32 stream block per chunk
+    inst_ref,  # (ROWS, chunk) residue-pair stream chunk
+    phi_ref,  # (NPIX, 27) bf16 power basis
+    carr_a_ref,  # (1, 8, NPIX) tile A's interior fwd carry (garbage when
+    #              has_interior_a == 0 — replaced by the initial state)
+    carr_b_ref,  # same for tile B
+    color_a_ref,  # (1, NFEAT_PAD, NPIX) out: tile A's residue contribution
+    aux_a_ref,  # (1, 8, NPIX) out: tile A's FINAL aux
+    color_b_ref,  # same pair for tile B (garbage on single-residue chunks;
+    aux_b_ref,  # the compose masks never read them)
+    *,
+    grid_x: int,
+    chunk: int,
+    need_depth: bool = True,
+):
+    """Split-layout tail forward: one chunk = up to two tiles' FINAL
+    residues, seeded from the interior call's carries. Each tile finishes
+    here, so this writes final color contributions AND final aux for both
+    segments. Pads (lim == 0) write nothing — their output blocks stay on
+    the last real chunk's tiles (edge-padded tables)."""
+    c = pl.program_id(0)
+    ma = tmeta_ref[c]
+    ta, hia = ma >> 1, ma & 1
+    mb = tbt_ref[c]
+    tb, hib = mb >> 1, mb & 1
+    sl = tsl_ref[c]
+    send, lim = sl >> 16, sl & 0xFFFF
+
+    @pl.when(lim > 0)
+    def _():
+        blk = inst_ref[:]
+        alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
+            blk, phi_ref[:], ta, tb, send, lim, chunk, grid_x
+        )
+        init_t = jnp.ones((NPIX, 1), jnp.float32)
+        t_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 0), init_t)
+        t_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 0), init_t)
+        t_before, t_cum, live, state_a, state_b = (
+            _chunk_transmittance_split(alpha, t_a, t_b, send, chunk, terms=2)
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cola = col < send
+        w = jnp.where(live, alpha * t_before, 0.0)
+        wa = jnp.where(cola, w, 0.0)
+        wb = w - wa
+        feats = blk[ROW_FEAT0:, :]
+        color_a_ref[0] = jax.lax.dot_general(
+            feats, wa, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        color_b_ref[0] = jax.lax.dot_general(
+            feats, wb, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        zero_c = jnp.zeros((NPIX, 1), jnp.float32)
+        if need_depth:
+            d_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 1), zero_c)
+            d_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 1), zero_c)
+            dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            cdep = jnp.where(crossing, dep, 0.0)
+            d_a = d_a + jnp.sum(
+                jnp.where(cola, cdep, 0.0), axis=1, keepdims=True
+            )
+            d_b = d_b + jnp.sum(
+                jnp.where(cola, 0.0, cdep), axis=1, keepdims=True
+            )
+        else:
+            d_a = d_b = zero_c
+        # saturation depth: alive tiles report SAT_INF; a tile that died
+        # DURING its residue reports the residue's max processed depth; one
+        # already dead at entry reports the interior call's candidate
+        valid = col < lim
+        dep_v = jnp.where(valid, blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0)
+
+        def _aux(seg, t_in, has_carry, carr_ref, state, d_seg):
+            entry_alive = jnp.max(t_in) > 0.0
+            satd_carry = jnp.max(
+                jnp.where(
+                    has_carry == 1, _colx(carr_ref[0], 2), zero_c
+                )
+            )
+            cand = jnp.where(
+                entry_alive,
+                jnp.max(jnp.where(seg, dep_v, 0.0)),
+                satd_carry,
+            )
+            sat = jnp.where(jnp.max(state) > 0.0, SAT_INF, cand)
+            return jnp.concatenate(
+                [
+                    jnp.concatenate([d_seg, jnp.abs(state)], axis=1).T,
+                    jnp.full((1, NPIX), sat, jnp.float32),
+                    jnp.zeros((5, NPIX), jnp.float32),
+                ],
+                axis=0,
+            )
+
+        aux_a_ref[0] = _aux(cola, t_a, hia, carr_a_ref, state_a, d_a)
+        aux_b_ref[0] = _aux(
+            jnp.logical_not(cola), t_b, hib, carr_b_ref, state_b, d_b
+        )
+
+
+def _bwd_kernel_tail(
+    tmeta_ref,
+    tsl_ref,
+    tbt_ref,
+    tblk_ref,
+    inst_ref,  # (ROWS, chunk)
+    phipm_ref,  # (2*NPIX, 27) merged power+moment basis
+    gct_a_ref,  # (1, 16, NPIX) per-tile backward input, tile A
+    gct_b_ref,  # same, tile B
+    carr_a_ref,  # (1, 8, NPIX) tile A's interior BWD carry (t_run, accwgc)
+    carr_b_ref,
+    ginst_ref,  # (ROWS, chunk) out: gradient rows; ROW_GID = reduction key
+    *,
+    grid_x: int,
+    chunk: int,
+    need_depth: bool = True,
+):
+    """Split-layout tail backward: segmented two-tile step seeded from the
+    interior backward's carries (see _bwd_kernel_packed for the math)."""
+    c = pl.program_id(0)
+    ma = tmeta_ref[c]
+    ta, hia = ma >> 1, ma & 1
+    mb = tbt_ref[c]
+    tb, hib = mb >> 1, mb & 1
+    sl = tsl_ref[c]
+    send, lim = sl >> 16, sl & 0xFFFF
+
+    @pl.when(lim == 0)
+    def _():
+        ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
+        ginst_ref[ROW_GID : ROW_GID + 1, :] = jnp.full(
+            (1, chunk), BIG_KEY, jnp.float32
+        )
+
+    @pl.when(lim > 0)
+    def _():
+        blk = inst_ref[:]
+        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
+            blk, phipm_ref[0:NPIX, :], ta, tb, send, lim, chunk, grid_x
+        )
+        init_t = jnp.ones((NPIX, 1), jnp.float32)
+        zero_c = jnp.zeros((NPIX, 1), jnp.float32)
+        t_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 0), init_t)
+        t_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 0), init_t)
+        acc_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 1), zero_c)
+        acc_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 1), zero_c)
+        t_before, t_cum, live, _, _ = _chunk_transmittance_split(
+            alpha, t_a, t_b, send, chunk, terms=2
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cola = col < send
+        w = jnp.where(live, alpha * t_before, 0.0)
+
+        g_color_a = gct_a_ref[0, 0:NFEAT_PAD]
+        g_color_b = gct_b_ref[0, 0:NFEAT_PAD]
+        feats = blk[ROW_FEAT0:, :]
+        gc_a = jax.lax.dot_general(
+            g_color_a, feats, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        gc_b = jax.lax.dot_general(
+            g_color_b, feats, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        gc = jnp.where(cola, gc_a, gc_b)
+        wgc = w * gc
+        ga_a = _colx(gct_a_ref[0], 9)
+        ga_b = _colx(gct_b_ref[0], 9)
+        rem = jnp.where(cola, ga_a - acc_a, ga_b - acc_b)
+        suffix = rem - _cumsum_mxu(wgc, _seg_mask(send, chunk), terms=2)
+
+        dalpha = jnp.where(
+            live,
+            t_before * gc - suffix / (1.0 - alpha),
+            0.0,
+        )
+        unclamped = keep & (raw < ALPHA_CAP)
+        dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
+        dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
+
+        if need_depth:
+            gdep = jnp.where(
+                cola, _colx(gct_a_ref[0], 8), _colx(gct_b_ref[0], 8)
+            )
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            gdep_row = jnp.sum(
+                jnp.where(crossing, gdep, 0.0), axis=0, keepdims=True
+            )
+        else:
+            gdep_row = jnp.zeros((1, chunk), jnp.float32)
+
+        mom24 = jax.lax.dot_general(
+            phipm_ref[NPIX:, :],
+            _split2(dpower, axis=1),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        mom = (
+            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
+            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
+            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
+        )
+        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
+        ca = blk[ROW_CA : ROW_CA + 1, :]
+        cb = blk[ROW_CB : ROW_CB + 1, :]
+        cc = blk[ROW_CC : ROW_CC + 1, :]
+        sdx = xl * s0 - sx
+        sdy = yl * s0 - sy
+        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
+        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
+        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
+        grows = jnp.concatenate(
+            [
+                -(ca * sdx + cb * sdy),
+                -(cc * sdy + cb * sdx),
+                -0.5 * sdxx,
+                -sdxy,
+                -0.5 * sdyy,
+                jnp.sum(dop_int, axis=0, keepdims=True),
+                gdep_row,
+                _row_key(blk, 0, lim, chunk),
+            ],
+            axis=0,
+        )
+        wa = jnp.where(cola, w, 0.0)
+        wb = w - wa
+        gfeat = jax.lax.dot_general(
+            g_color_a, wa, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            g_color_b, wb, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
+
+
 def _fisher_chunk_body(
     cabs,  # absolute chunk-table index of this sub-step
     col0,  # static column offset in the output block
@@ -1736,6 +2079,257 @@ def _make_bwd_call_packed(nc, num_tiles, grid_x, chunk, interpret,
         out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fwd_call_split_int(nci, num_tiles, grid_x, chunk, interpret,
+                             scan_impl="mxu", need_depth=True):
+    """Interior fwd call: the aligned kernel + a per-tile carry output."""
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
+            need_depth=need_depth, emit_carry=True,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nci,),
+            in_specs=[_stream_spec(chunk), _const_spec(27)],
+            out_specs=[
+                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
+                pl.BlockSpec((1, 8, NPIX), _tile_of),
+                pl.BlockSpec((1, 8, NPIX), _tile_of),
+            ],
+            scratch_shapes=_common_scratch()
+            + [pltpu.SMEM((1,), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _atile_spec(rows):
+    return pl.BlockSpec(
+        (1, rows, NPIX), lambda c, tmeta, tsl, tbt, tblk: (tmeta[c] >> 1, 0, 0)
+    )
+
+
+def _btile_spec(rows):
+    return pl.BlockSpec(
+        (1, rows, NPIX), lambda c, tmeta, tsl, tbt, tblk: (tbt[c] >> 1, 0, 0)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
+                        need_depth=True):
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_tail, grid_x=grid_x, chunk=chunk,
+            need_depth=need_depth,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nct,),
+            in_specs=[
+                pl.BlockSpec(
+                    (ROWS, chunk),
+                    lambda c, tmeta, tsl, tbt, tblk: (0, tblk[c]),
+                ),
+                pl.BlockSpec(
+                    (NPIX, 27), lambda c, tmeta, tsl, tbt, tblk: (0, 0)
+                ),
+                _atile_spec(8),
+                _btile_spec(8),
+            ],
+            out_specs=[
+                _atile_spec(NFEAT_PAD),
+                _atile_spec(8),
+                _btile_spec(NFEAT_PAD),
+                _btile_spec(8),
+            ],
+            scratch_shapes=[],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_bwd_call_split_int(nci, num_tiles, grid_x, chunk, interpret,
+                             scan_impl="mxu", need_depth=True):
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_interior, grid_x=grid_x, chunk=chunk,
+            scan_impl=scan_impl, need_depth=need_depth,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nci,),
+            in_specs=[
+                _stream_spec(chunk),
+                pl.BlockSpec(
+                    (2 * NPIX, 27), lambda c, meta, lim, blk: (0, 0)
+                ),
+                pl.BlockSpec((1, 16, NPIX), _tile_of),
+            ],
+            out_specs=[
+                _out_chunk_spec(ROWS, chunk),
+                pl.BlockSpec((1, 8, NPIX), _tile_of),
+            ],
+            scratch_shapes=_common_scratch()
+            + [pltpu.VMEM((NPIX, 1), jnp.float32)] * 2,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((ROWS, nci * chunk), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_bwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
+                        need_depth=True):
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_tail, grid_x=grid_x, chunk=chunk,
+            need_depth=need_depth,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nct,),
+            in_specs=[
+                pl.BlockSpec(
+                    (ROWS, chunk),
+                    lambda c, tmeta, tsl, tbt, tblk: (0, tblk[c]),
+                ),
+                pl.BlockSpec(
+                    (2 * NPIX, 27),
+                    lambda c, tmeta, tsl, tbt, tblk: (0, 0),
+                ),
+                _atile_spec(16),
+                _btile_spec(16),
+                _atile_spec(8),
+                _btile_spec(8),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (ROWS, chunk),
+                    lambda c, tmeta, tsl, tbt, tblk: (0, c),
+                )
+            ],
+            scratch_shapes=[],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((ROWS, nct * chunk), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+# split-layout empty-tile aux: final T = 1, saturation depth = SAT_INF
+def _empty_aux_np():
+    import numpy as np
+
+    a = np.zeros((8, NPIX), np.float32)
+    a[1] = 1.0
+    a[2] = SAT_INF
+    return a
+
+
+@functools.lru_cache(maxsize=32)
+def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
+                          interpret, scan_impl="mxu", carry_depth=True):
+    """Split-layout raster: interior call + carry-seeded tail call, composed
+    XLA-side with the binning's per-tile ownership masks (BinnedSplit)."""
+    fwd_int = _make_fwd_call_split_int(
+        nci, num_tiles, grid_x, chunk, interpret, scan_impl,
+        need_depth=carry_depth,
+    )
+    fwd_tail = _make_fwd_call_tail(
+        nct, num_tiles, grid_x, chunk, interpret, need_depth=carry_depth
+    )
+    bwd_int = _make_bwd_call_split_int(
+        nci, num_tiles, grid_x, chunk, interpret, scan_impl,
+        need_depth=carry_depth,
+    )
+    bwd_tail = _make_bwd_call_tail(
+        nct, num_tiles, grid_x, chunk, interpret, need_depth=carry_depth
+    )
+    value_rows = tuple(
+        i for i in range(ROW_GID) if carry_depth or i != ROW_DEPTH
+    ) + tuple(range(ROW_FEAT0, ROW_FEAT0 + nfeat))
+
+    def _forward(attrs, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
+                 mask_int, mask_a, mask_b):
+        stream = _build_stream(attrs, gid, chunk)
+        color_i, aux_i, carry = fwd_int(imeta, ilim, iblk, stream, _phi_pow())
+        color_a, aux_a, color_b, aux_b = fwd_tail(
+            tmeta, tsl, tbt, tblk, stream, _phi_pow(), carry, carry
+        )
+        mi = mask_int[:, None, None]
+        ma = mask_a[:, None, None]
+        mb = mask_b[:, None, None]
+        zc = jnp.float32(0.0)
+        color = (
+            jnp.where(mi, color_i, zc)
+            + jnp.where(ma, color_a, zc)
+            + jnp.where(mb, color_b, zc)
+        )
+        aux = jnp.where(
+            ma, aux_a,
+            jnp.where(
+                mb, aux_b,
+                jnp.where(mi, aux_i, jnp.asarray(_empty_aux_np())[None]),
+            ),
+        )
+        return stream, color, aux
+
+    @jax.custom_vjp
+    def raster(attrs, hist, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
+               mask_int, mask_a, mask_b):
+        _, color, aux = _forward(
+            attrs, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
+            mask_int, mask_a, mask_b,
+        )
+        return color, aux
+
+    def raster_fwd(attrs, hist, gid, imeta, ilim, iblk, tmeta, tsl, tbt,
+                   tblk, mask_int, mask_a, mask_b):
+        stream, color, aux = _forward(
+            attrs, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
+            mask_int, mask_a, mask_b,
+        )
+        return (color, aux), (
+            stream, hist, imeta, ilim, iblk, tmeta, tsl, tbt, tblk, color,
+            aux,
+        )
+
+    def raster_bwd(res, g):
+        (stream, hist, imeta, ilim, iblk, tmeta, tsl, tbt, tblk, color,
+         aux) = res
+        g_color, g_aux = g
+        gct = _ga_gdep_blocks(g_color, g_aux, color, aux)
+        ginst_i, carry_b = bwd_int(
+            imeta, ilim, iblk, stream, _phi_pm(), gct
+        )
+        (ginst_t,) = bwd_tail(
+            tmeta, tsl, tbt, tblk, stream, _phi_pm(), gct, gct, carry_b,
+            carry_b,
+        )
+        ginst = jnp.concatenate([ginst_i, ginst_t], axis=1)
+        per_gauss = segment_reduce_by_key(ginst, ROW_GID, hist, value_rows)
+        return (per_gauss.T,) + (None,) * 12
+
+    raster.defvjp(raster_fwd, raster_bwd)
+    return raster
 
 
 @functools.lru_cache(maxsize=32)
@@ -2225,7 +2819,9 @@ def rasterize_tiles_pallas(
         # a cached BinnedCSR from a 'sort' config has no slot indices
         reduction = "sort"
     nc = binned.chunk_meta.shape[0]
-    if grid_group > 1 and not hasattr(binned, "chunk_btile"):
+    if grid_group > 1 and not hasattr(binned, "chunk_btile") and not hasattr(
+        binned, "tsl"
+    ):
         pad = -nc % grid_group
         if pad:
             # pad chunks repeat the LAST chunk's tile with the first bit
@@ -2243,6 +2839,20 @@ def rasterize_tiles_pallas(
             )
             nc += pad
     dummy = jnp.zeros(1, jnp.int32)
+    if hasattr(binned, "tsl"):  # BinnedSplit stream
+        nci = binned.chunk_meta.shape[0]
+        nct = binned.tmeta.shape[0]
+        fn = _make_raster_fn_split(
+            nci, nct, num_tiles, grid_x, chunk, nfeat, interpret, scan_impl,
+            carry_depth,
+        )
+        color, aux = fn(
+            attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
+            binned.chunk_lim, binned.chunk_blk, binned.tmeta, binned.tsl,
+            binned.tbt, binned.tblk, binned.mask_int, binned.mask_a,
+            binned.mask_b,
+        )
+        return PallasRasterOut(color=color, aux=aux)
     if hasattr(binned, "chunk_btile"):  # BinnedPacked stream
         fn = _make_raster_fn_packed(
             nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction,

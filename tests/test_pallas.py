@@ -562,3 +562,93 @@ def test_grouped_bwd_gradients_match_jnp(group):
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
         )
+
+
+@pytest.mark.parametrize("saturate", [False, True])
+def test_split_layout_matches_jnp(saturate):
+    """layout='split' (zero-waste interiors + carry-seeded residue tails)
+    must reproduce the jnp oracle's render AND gradients, including on a
+    saturating scene (dead-segment carries, early-exited interior chunks
+    feeding zero-grad key rows)."""
+    rng = np.random.default_rng(11 if saturate else 7)
+    means, colors, opacities, scales, quats, cam = make_scene(
+        rng, n=150, w=96, h=64
+    )
+    if saturate:
+        opacities = np.clip(opacities + 0.5, 0, 0.97)
+    cfg_s = RasterConfig(
+        max_instances=2**16, max_per_tile=1024, chunk=128,
+        backend="pallas", layout="split",
+    )
+    args = (
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats), cam,
+    )
+    out_s, aux_s = rasterize_tiled(*args, cfg=cfg_s)
+    out_j, _ = rasterize_tiled(*args, cfg=CFG_JNP)
+    assert not bool(aux_s.overflow)
+    for nm in ("color", "depth", "final_t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_s, nm)), np.asarray(getattr(out_j, nm)),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def loss(ms, cols, ops, cfg):
+        o, _ = rasterize_tiled(ms, cols, ops, args[3], args[4], cam, cfg=cfg)
+        return jnp.sum(o.color**2) + jnp.sum(o.depth)
+
+    g_s = jax.grad(loss, argnums=(0, 1, 2))(args[0], args[1], args[2], cfg_s)
+    g_j = jax.grad(loss, argnums=(0, 1, 2))(
+        args[0], args[1], args[2], CFG_JNP
+    )
+    for a, b in zip(g_s, g_j):
+        scale = np.abs(np.asarray(b)).max() + 1e-20
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+        )
+
+
+def test_split_interior_only_and_empty_scene():
+    """Edge coverage for the split compose: a tile whose count is an exact
+    chunk multiple (aux comes from the INTERIOR call — no tail segment) and
+    a fully empty scene (every tile takes the constant empty-aux block)."""
+    n, w, h = 128, 64, 48
+    rng = np.random.default_rng(3)
+    # all gaussians tiny and centered in ONE tile -> that tile's count is
+    # exactly 128 = one whole chunk, residue 0
+    means = np.tile(np.array([[0.02, 0.02, 2.0]], np.float32), (n, 1))
+    means[:, 2] += rng.uniform(0, 0.5, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacities = np.full(n, 0.4, np.float32)
+    scales = np.full((n, 3), 0.002, np.float32)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    from splatam_tpu.render.camera import setup_camera
+
+    cam = setup_camera(
+        w, h, [[80.0, 0, w / 2], [0, 80.0, h / 2], [0, 0, 1]], np.eye(4)
+    )
+    cfg_s = RasterConfig(
+        max_instances=2**14, max_per_tile=1024, chunk=128,
+        backend="pallas", layout="split",
+    )
+    args = (
+        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
+        jnp.asarray(scales), jnp.asarray(quats), cam,
+    )
+    out_s, aux_s = rasterize_tiled(*args, cfg=cfg_s)
+    out_j, _ = rasterize_tiled(*args, cfg=CFG_JNP)
+    assert not bool(aux_s.overflow)
+    for nm in ("color", "depth", "final_t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_s, nm)), np.asarray(getattr(out_j, nm)),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    # empty scene: all-inactive mask
+    out_e, aux_e = rasterize_tiled(
+        *args, cfg=cfg_s, active=jnp.zeros(n, bool)
+    )
+    np.testing.assert_allclose(np.asarray(out_e.final_t), 1.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_e.color[:3]), 0.0, atol=1e-6
+    )
