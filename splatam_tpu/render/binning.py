@@ -198,7 +198,8 @@ def sized_config(
     )
 
 
-def shrink_binned(binned, chunk: int, max_stream: int, max_chunks: int):
+def shrink_binned(binned, chunk: int, max_stream: int, max_chunks: int,
+                  max_chunks_tail: int | None = None):
     """Slice a binned result down to snug (quantized) capacities.
 
     Every post-binning cost — the stream gather, the kernel GRID, the
@@ -214,6 +215,31 @@ def shrink_binned(binned, chunk: int, max_stream: int, max_chunks: int):
     ``max_stream`` must be a chunk multiple.
     """
     nc = max_chunks
+    if hasattr(binned, "tsl"):  # BinnedSplit: slice both regions
+        assert max_chunks_tail is not None
+        nci0 = binned.chunk_meta.shape[0]
+        nci, nct = max_chunks, max_chunks_tail
+        over = (binned.used_interior > nci) | (binned.used_tail > nct)
+        gid = jnp.concatenate(
+            [
+                binned.sorted_gid[: nci * chunk],
+                binned.sorted_gid[
+                    nci0 * chunk : nci0 * chunk + nct * chunk
+                ],
+            ]
+        )
+        ct = jnp.arange(nct, dtype=jnp.int32)
+        return binned._replace(
+            sorted_gid=gid,
+            chunk_meta=binned.chunk_meta[:nci],
+            chunk_lim=binned.chunk_lim[:nci],
+            chunk_blk=jnp.minimum(binned.chunk_blk[:nci], nci + nct - 1),
+            tmeta=binned.tmeta[:nct],
+            tsl=binned.tsl[:nct],
+            tbt=binned.tbt[:nct],
+            tblk=jnp.minimum(nci + ct, nci + nct - 1),
+            overflow=binned.overflow | over,
+        )
     # valid stream BLOCK indices after the shrink: _build_stream pads one
     # extra chunk past max_stream, so blocks 0..max_stream//chunk exist
     blk_cap = jnp.int32(max_stream // chunk)
@@ -808,9 +834,10 @@ class BinnedSplit(NamedTuple):
 
     sorted_gid: jax.Array  # ((NCi+NCt)*chunk,) int32 gid per split-stream
     # slot (pad slots arbitrary; kernels mask rows >= lim)
-    # interior tables (NCi,): same formats as BinnedCSR (skip always 0)
+    # interior tables (NCi,): same formats as BinnedCSR, except the skip
+    # bits (structurally 0 here) carry the SOLO flag
     chunk_meta: jax.Array  # tile << 1 | first
-    chunk_lim: jax.Array  # 0 << 16 | lim (chunk for used, 0 for pads)
+    chunk_lim: jax.Array  # solo << 16 | lim (chunk for used, 0 for pads)
     chunk_blk: jax.Array  # stream block index (== own index, capped)
     # tail tables (NCt,): rows [0, send) = tile A's residue, [send, lim) =
     # tile B's; flags say whether that tile HAS interiors (else the kernel
@@ -890,15 +917,29 @@ def bin_gaussians_split(
     itile = jnp.where(
         in_use_i, itile, jnp.take(itile, jnp.clip(used_i - 1, 0, nci - 1))
     )
+    # SOLO flag (residue 0: the interior call owns the tile's aux; no carry
+    # is read) rides the skip bits — split interiors never skip. Pads
+    # inherit their pinned tile's flag so the deferred _is_last write picks
+    # the right array.
+    solo_c = jnp.take((r == 0).astype(jnp.int32), itile)
     local = c_idx - jnp.take(ioff, itile)
     prev_it = jnp.concatenate([jnp.full(1, -1, jnp.int32), itile[:-1]])
     ifirst = ((itile != prev_it) & in_use_i).astype(jnp.int32)
     imeta = (itile << 1) | ifirst
-    ilim = jnp.where(in_use_i, chunk, 0).astype(jnp.int32)  # skip == 0
+    ilim = jnp.where(in_use_i, chunk, 0).astype(jnp.int32)
+    ilim_packed = (solo_c << 16) | ilim
     iblk = jnp.minimum(c_idx, nci + nct - 1)
     isrc = jnp.take(starts, itile) + local * chunk
 
-    # ---- tail pairing (sorted halves over nonzero residues) --------------
+    # ---- tail pairing: OPTIMAL max matching of residues into chunks ------
+    # Sort residues descending. m pairs are feasible iff the 2m SMALLEST
+    # residues pair up in reverse order (rs[R-2m+i] + rs[R-1-i] <= chunk
+    # for all i < m) — the classic "boats" certificate, monotone in m — so
+    # a ~12-step binary search finds the optimal pair count M (== greedy
+    # two-pointer), fully vectorized. The first-cut "sorted halves" pairing
+    # measured 3133 tail chunks on the bench scene vs 2192 optimal: with
+    # mean residue ~74, mirror pairs sum ~147 > 128 and nearly everything
+    # split.
     tiles = jnp.arange(t_len, dtype=jnp.int32)
     key = jnp.where(r > 0, -r, 1)
     _, ord_tiles = jax.lax.sort(
@@ -907,21 +948,29 @@ def bin_gaussians_split(
     rs = jnp.take(r, ord_tiles)  # residues descending; zeros at the end
     R = jnp.sum((r > 0).astype(jnp.int32))
     i_idx = jnp.arange(t_len, dtype=jnp.int32)
-    mirror = R - 1 - i_idx  # partner rank (negative past R)
-    r_partner = jnp.take(rs, jnp.clip(mirror, 0, t_len - 1))
-    fits = (rs + r_partner) <= chunk
-    is_lead = (i_idx <= mirror) & (i_idx < R)
-    npair = jnp.where(
-        is_lead, jnp.where((i_idx < mirror) & ~fits, 2, 1), 0
-    ).astype(jnp.int32)
-    coff = jnp.cumsum(npair) - npair
-    used_t = jnp.sum(npair)
-    coff_lead = jnp.take(coff, jnp.clip(mirror, 0, t_len - 1))
-    cid = jnp.where(
-        is_lead, coff, coff_lead + jnp.where(fits, 0, 1)
-    )
+
+    def _feasible(m):
+        lead = jnp.take(rs, jnp.clip(R - 2 * m + i_idx, 0, t_len - 1))
+        part = jnp.take(rs, jnp.clip(R - 1 - i_idx, 0, t_len - 1))
+        bad = (i_idx < m) & (lead + part > chunk)
+        return jnp.logical_not(jnp.any(bad))
+
+    def _bs(step, lohi):
+        lo, hi = lohi  # invariant: feasible(lo), not feasible(hi + 1)
+        mid = (lo + hi + 1) // 2
+        good = _feasible(mid)
+        return jnp.where(good, mid, lo), jnp.where(good, hi, mid - 1)
+
+    bits = max((t_len // 2).bit_length(), 1)
+    M, _ = jax.lax.fori_loop(0, bits, _bs, (jnp.int32(0), R // 2))
+    # the R-2M LARGEST residues get single chunks (cid == rank); lead ranks
+    # [R-2M, R-M) keep cid == rank; rank j in [R-M, R) is the B segment of
+    # its mirror lead R-1-j
+    used_t = R - M
+    nsingle = R - 2 * M
+    cid = jnp.where(i_idx < R - M, i_idx, nsingle + (R - 1 - i_idx))
     valid_rank = i_idx < R
-    role_b = (~is_lead) & fits & valid_rank  # second segment, shared chunk
+    role_b = (i_idx >= R - M) & valid_rank  # second segment, shared chunk
 
     hasint_r = (jnp.take(q, ord_tiles) > 0).astype(jnp.int32)
     src_r = jnp.take(starts, ord_tiles) + jnp.take(q, ord_tiles) * chunk
@@ -997,7 +1046,7 @@ def bin_gaussians_split(
     return BinnedSplit(
         sorted_gid=gid_split,
         chunk_meta=imeta,
-        chunk_lim=ilim,  # skip == 0: packed form is just lim
+        chunk_lim=ilim_packed,  # solo << 16 | lim (skip is structurally 0)
         chunk_blk=iblk,
         tmeta=tmeta,
         tsl=tsl,

@@ -618,16 +618,27 @@ def _fwd_kernel(
     emit_carry: bool = False,
 ):
     if emit_carry:
-        # split-layout interior call: carry_ref is a (1, 8, NPIX) per-tile
-        # HBM block handing the tile's end state to the tail call — row 0 =
-        # t_run (SIGNED, death encoding intact), row 1 = median-depth
-        # accumulator, row 2 = saturation-depth candidate (broadcast)
+        # split-layout interior call: carry_ref is a (1, NPIX, 8) per-tile
+        # HBM block handing the tile's end state to the tail call — lane 0 =
+        # t_run (SIGNED, death encoding intact), lane 1 = median-depth
+        # accumulator, lane 2 = saturation-depth candidate (broadcast).
+        # PIXEL-major on purpose: the scratch lives as (NPIX, 1) columns, so
+        # both the write here and the read in the tail kernel are lane
+        # selects — a channel-major block would cost a Mosaic sublane->lane
+        # relayout PER TILE, and split interiors average ~1 chunk per tile
+        # (that transpose measured ~1.4 us/step of pure overhead on chip)
         carry_ref, t_run_sc, depth_sc, alive_sc, satd_sc = rest
     else:
         t_run_sc, depth_sc, alive_sc, satd_sc = rest
     c = pl.program_id(0)
     nc = pl.num_programs(0)
     t, first, skip, lim = _meta(meta_ref, lim_ref, c)
+    if emit_carry:
+        # split interiors have skip == 0 always; the skip bits carry the
+        # SOLO flag instead (tile has no tail residue -> the interior call
+        # owns its aux; otherwise the tail call rewrites aux and only the
+        # carry is read)
+        solo, skip = skip, 0
 
     @pl.when(first == 1)
     def _():
@@ -686,7 +697,9 @@ def _fwd_kernel(
         satd_sc[0] = jnp.max(dep_valid)
 
     # one aux write + one (NPIX, 2) transpose per TILE, not per step
-    @pl.when(_is_last(meta_ref, c, nc) == 1)
+    last = _is_last(meta_ref, c, nc)
+
+    @pl.when(last == 1 if not emit_carry else (last == 1) & (solo == 1))
     def _():
         # abs: the carry's sign encodes death (_chunk_transmittance); the
         # reported final T is the pre-crossing magnitude either way
@@ -707,14 +720,21 @@ def _fwd_kernel(
             ],
             axis=0,
         )
-        if emit_carry:
-            carry_ref[0] = jnp.concatenate(
-                [
-                    jnp.concatenate([t_run_sc[:], depth_sc[:]], axis=1).T,
-                    jnp.full((1, NPIX), satd_sc[0], jnp.float32),
-                    jnp.zeros((5, NPIX), jnp.float32),
-                ],
-                axis=0,
+
+    if emit_carry:
+        # tiles WITH a tail residue: the tail call owns their aux; only the
+        # carry is read. Lane selects, no relayout (see carry_ref comment).
+        @pl.when((last == 1) & (solo == 0))
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
+            carry_ref[0] = jnp.where(
+                lane == 0,
+                t_run_sc[:],
+                jnp.where(
+                    lane == 1,
+                    depth_sc[:],
+                    jnp.where(lane == 2, satd_sc[0], 0.0),
+                ),
             )
 
 
@@ -927,6 +947,15 @@ def _colx(block, row):
     )
 
 
+def _carry_col(carr_ref, j):
+    """(NPIX, 1) lane ``j`` of a pixel-major (1, NPIX, 8) carry block —
+    two VPU ops on a (256, 8) array, no relayout (split-layout carries)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
+    return jnp.sum(
+        jnp.where(lane == j, carr_ref[0], 0.0), axis=1, keepdims=True
+    )
+
+
 def _ga_gdep_blocks(g_color, g_aux, color, aux):
     """(T, 16, NPIX) MERGED per-tile backward input, computed ONCE XLA-side:
     rows 0-7 = the upstream dL/d color block, row 8 = dL/d median depth,
@@ -972,13 +1001,18 @@ def _bwd_chunk_body(
     chunk: int,
     scan_impl: str = "mxu",
     need_depth: bool = True,
+    ignore_skip: bool = False,
 ):
     """One chunk's backward step — shared by the 1-chunk-per-grid-step
     kernel and the grouped (grid_group > 1) kernel, which unrolls G of
     these per grid step to amortize the fixed per-step cost
     (tools/kernel_ablate.py: ~0.6 us of the 1.5 us bwd step is block
-    DMA/bookkeeping, paid per grid step)."""
+    DMA/bookkeeping, paid per grid step). ``ignore_skip``: split-layout
+    interior tables repurpose the skip bits as the SOLO flag (skip is
+    structurally 0 there)."""
     t, first, skip, lim = _meta(meta_ref, lim_ref, cabs)
+    if ignore_skip:
+        skip = 0
 
     @pl.when(first == 1)
     def _():
@@ -1441,24 +1475,26 @@ def _bwd_kernel_interior(
     need_depth: bool = True,
 ):
     """Split-layout interior backward: the plain aligned step plus a
-    per-tile carry write (the tail call seeds its segments from it)."""
+    per-tile carry write (the tail call seeds its segments from it). The
+    carry is (1, NPIX, 8) pixel-major — lane 0 = t_run, lane 1 = accwgc —
+    and is skipped for SOLO tiles (no residue, nobody reads it)."""
     c = pl.program_id(0)
     nc = pl.num_programs(0)
+    solo = lim_ref[c] >> 16
     _bwd_chunk_body(
         c, 0, meta_ref, lim_ref, phipm_ref, gct_ref, inst_ref, ginst_ref,
         t_run_sc, accwgc_sc, alive_sc, gdep_sc, ga_sc,
         grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
-        need_depth=need_depth,
+        need_depth=need_depth, ignore_skip=True,
     )
 
-    @pl.when(_is_last(meta_ref, c, nc) == 1)
+    @pl.when((_is_last(meta_ref, c, nc) == 1) & (solo == 0))
     def _():
-        carry_ref[0] = jnp.concatenate(
-            [
-                jnp.concatenate([t_run_sc[:], accwgc_sc[:]], axis=1).T,
-                jnp.zeros((6, NPIX), jnp.float32),
-            ],
-            axis=0,
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
+        carry_ref[0] = jnp.where(
+            lane == 0,
+            t_run_sc[:],
+            jnp.where(lane == 1, accwgc_sc[:], 0.0),
         )
 
 
@@ -1501,8 +1537,8 @@ def _fwd_kernel_tail(
             blk, phi_ref[:], ta, tb, send, lim, chunk, grid_x
         )
         init_t = jnp.ones((NPIX, 1), jnp.float32)
-        t_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 0), init_t)
-        t_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 0), init_t)
+        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
+        t_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 0), init_t)
         t_before, t_cum, live, state_a, state_b = (
             _chunk_transmittance_split(alpha, t_a, t_b, send, chunk, terms=2)
         )
@@ -1524,8 +1560,8 @@ def _fwd_kernel_tail(
         )
         zero_c = jnp.zeros((NPIX, 1), jnp.float32)
         if need_depth:
-            d_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 1), zero_c)
-            d_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 1), zero_c)
+            d_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
+            d_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 1), zero_c)
             dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
             cdep = jnp.where(crossing, dep, 0.0)
@@ -1546,9 +1582,7 @@ def _fwd_kernel_tail(
         def _aux(seg, t_in, has_carry, carr_ref, state, d_seg):
             entry_alive = jnp.max(t_in) > 0.0
             satd_carry = jnp.max(
-                jnp.where(
-                    has_carry == 1, _colx(carr_ref[0], 2), zero_c
-                )
+                jnp.where(has_carry == 1, _carry_col(carr_ref, 2), zero_c)
             )
             cand = jnp.where(
                 entry_alive,
@@ -1613,10 +1647,10 @@ def _bwd_kernel_tail(
         )
         init_t = jnp.ones((NPIX, 1), jnp.float32)
         zero_c = jnp.zeros((NPIX, 1), jnp.float32)
-        t_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 0), init_t)
-        t_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 0), init_t)
-        acc_a = jnp.where(hia == 1, _colx(carr_a_ref[0], 1), zero_c)
-        acc_b = jnp.where(hib == 1, _colx(carr_b_ref[0], 1), zero_c)
+        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
+        t_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 0), init_t)
+        acc_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
+        acc_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 1), zero_c)
         t_before, t_cum, live, _, _ = _chunk_transmittance_split(
             alpha, t_a, t_b, send, chunk, terms=2
         )
@@ -2097,7 +2131,7 @@ def _make_fwd_call_split_int(nci, num_tiles, grid_x, chunk, interpret,
             out_specs=[
                 pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of),
                 pl.BlockSpec((1, 8, NPIX), _tile_of),
-                pl.BlockSpec((1, 8, NPIX), _tile_of),
+                pl.BlockSpec((1, NPIX, 8), _tile_of),
             ],
             scratch_shapes=_common_scratch()
             + [pltpu.SMEM((1,), jnp.float32)],
@@ -2105,7 +2139,7 @@ def _make_fwd_call_split_int(nci, num_tiles, grid_x, chunk, interpret,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -2120,6 +2154,18 @@ def _atile_spec(rows):
 def _btile_spec(rows):
     return pl.BlockSpec(
         (1, rows, NPIX), lambda c, tmeta, tsl, tbt, tblk: (tbt[c] >> 1, 0, 0)
+    )
+
+
+def _acarry_spec():
+    return pl.BlockSpec(
+        (1, NPIX, 8), lambda c, tmeta, tsl, tbt, tblk: (tmeta[c] >> 1, 0, 0)
+    )
+
+
+def _bcarry_spec():
+    return pl.BlockSpec(
+        (1, NPIX, 8), lambda c, tmeta, tsl, tbt, tblk: (tbt[c] >> 1, 0, 0)
     )
 
 
@@ -2142,8 +2188,8 @@ def _make_fwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
                 pl.BlockSpec(
                     (NPIX, 27), lambda c, tmeta, tsl, tbt, tblk: (0, 0)
                 ),
-                _atile_spec(8),
-                _btile_spec(8),
+                _acarry_spec(),
+                _bcarry_spec(),
             ],
             out_specs=[
                 _atile_spec(NFEAT_PAD),
@@ -2183,14 +2229,14 @@ def _make_bwd_call_split_int(nci, num_tiles, grid_x, chunk, interpret,
             ],
             out_specs=[
                 _out_chunk_spec(ROWS, chunk),
-                pl.BlockSpec((1, 8, NPIX), _tile_of),
+                pl.BlockSpec((1, NPIX, 8), _tile_of),
             ],
             scratch_shapes=_common_scratch()
             + [pltpu.VMEM((NPIX, 1), jnp.float32)] * 2,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((ROWS, nci * chunk), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -2218,8 +2264,8 @@ def _make_bwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
                 ),
                 _atile_spec(16),
                 _btile_spec(16),
-                _atile_spec(8),
-                _btile_spec(8),
+                _acarry_spec(),
+                _bcarry_spec(),
             ],
             out_specs=[
                 pl.BlockSpec(

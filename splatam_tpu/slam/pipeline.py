@@ -80,23 +80,31 @@ class _RasterSizer:
         self.chunk = chunk
         self.ks: int | None = None
         self.nc: int | None = None
+        self.nct: int | None = None  # split-layout tail-chunk tier
 
     def reset(self) -> None:
-        self.ks = self.nc = None
+        self.ks = self.nc = self.nct = None
 
     def observe(self, binned) -> None:
         rows = getattr(binned, "stream_rows", None)
         rows = int(binned.num_instances) if rows is None else int(rows)
-        used = int(binned.padded_total) // self.chunk
 
         def _rup(v, q):
             return max(((int(v) + q - 1) // q) * q, q)
 
         ks_need = _rup(rows * self.MARGIN + self.chunk, self.STREAM_Q)
+        if getattr(binned, "tsl", None) is not None:  # split layout
+            used = int(binned.used_interior)
+            nct_need = _rup(int(binned.used_tail) * self.MARGIN + 2,
+                            self.CHUNK_Q)
+        else:
+            used = int(binned.padded_total) // self.chunk
+            nct_need = 0
         nc_need = _rup(used * self.MARGIN + 2, self.CHUNK_Q)
         if (
             self.ks is None
             or ks_need > self.ks or nc_need > self.nc
+            or (self.nct or 0) < nct_need
             or ks_need * 3 < self.ks or nc_need * 3 < self.nc
         ):
             # every tier change recompiles the phase programs (60-120 s
@@ -105,12 +113,25 @@ class _RasterSizer:
             # per quantum crossing of a steadily densifying map
             self.ks = _rup(ks_need * self.HEADROOM, self.STREAM_Q)
             self.nc = _rup(nc_need * self.HEADROOM, self.CHUNK_Q)
+            self.nct = _rup(nct_need * self.HEADROOM, self.CHUNK_Q)
 
     def apply(self, binned):
         from splatam_tpu.render.binning import shrink_binned
 
         if self.ks is None:
             return binned
+        if getattr(binned, "tsl", None) is not None:  # split layout
+            nc = min(self.nc, binned.chunk_meta.shape[0])
+            nct = min(self.nct, binned.tmeta.shape[0])
+            if (
+                nc >= binned.chunk_meta.shape[0]
+                and nct >= binned.tmeta.shape[0]
+            ):
+                return binned
+            return shrink_binned(
+                binned, self.chunk, nc * self.chunk, nc,
+                max_chunks_tail=nct,
+            )
         stream = getattr(binned, "padded_gid", None)
         if stream is None:
             stream = binned.sorted_gid
@@ -391,7 +412,7 @@ def rgbd_slam(
                         tile_rank = None
                         if (
                             raster_cfg.align_windows
-                            and raster_cfg.layout != "packed"
+                            and raster_cfg.layout == "aligned"
                             and prev_binned is not None
                         ):
                             tile_rank = alignment_order(
@@ -534,7 +555,7 @@ def rgbd_slam(
                             tile_rank = None
                             if (
                                 raster_cfg.align_windows
-                                and raster_cfg.layout != "packed"
+                                and raster_cfg.layout == "aligned"
                                 and cached is not None
                             ):
                                 tile_rank = alignment_order(

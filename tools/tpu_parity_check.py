@@ -52,8 +52,8 @@ def main():
                 red = tok
             elif tok == "align":
                 align = True
-            elif tok == "packed":
-                layout = "packed"
+            elif tok in ("packed", "split"):
+                layout = tok
         return RasterConfig(
             max_instances=2**18, max_per_tile=1024, chunk=128,
             backend=backend.split("-")[0], scan_impl=scan, reduction=red,
@@ -80,7 +80,7 @@ def main():
     modes = (
         "pallas", "pallas-roll", "pallas-perm", "pallas-scatter",
         "pallas-align", "pallas-roll-perm-align",
-        "pallas-packed", "pallas-packed-perm", "jnp",
+        "pallas-packed", "pallas-packed-perm", "pallas-split", "jnp",
     )
     results = {}
     for backend in modes:
