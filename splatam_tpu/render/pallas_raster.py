@@ -1530,19 +1530,79 @@ def _fwd_kernel_tail(
     sl = tsl_ref[c]
     send, lim = sl >> 16, sl & 0xFFFF
 
-    @pl.when(lim > 0)
+    boundary = send < lim
+    init_t = jnp.ones((NPIX, 1), jnp.float32)
+    zero_c = jnp.zeros((NPIX, 1), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    dep_row = inst_ref[ROW_DEPTH : ROW_DEPTH + 1, :]
+    dep_v = jnp.where(col < lim, dep_row, 0.0)
+
+    def _aux_pm(t_in, has_carry, carr_ref, state, d_seg, segdep_max):
+        # PIXEL-major (NPIX, 8) final aux: lane 0 = median-depth accum,
+        # lane 1 = final T, lane 2 = sat depth. Lane selects instead of the
+        # aligned kernel's (NPIX, 2).T — a Mosaic relayout per STEP here
+        # (every tail chunk finalizes tiles); the compose transposes the
+        # whole array once XLA-side.
+        entry_alive = jnp.max(t_in) > 0.0
+        satd_carry = jnp.max(
+            jnp.where(has_carry == 1, _carry_col(carr_ref, 2), zero_c)
+        )
+        cand = jnp.where(entry_alive, segdep_max, satd_carry)
+        sat = jnp.where(jnp.max(state) > 0.0, SAT_INF, cand)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
+        return jnp.where(
+            lane == 0,
+            d_seg,
+            jnp.where(
+                lane == 1, jnp.abs(state), jnp.where(lane == 2, sat, 0.0)
+            ),
+        )
+
+    # single-residue chunk (~half the tail): the aligned step's math — one
+    # color matmul, plain triangular scan — seeded from the carry
+    @pl.when((lim > 0) & jnp.logical_not(boundary))
+    def _():
+        blk = inst_ref[:]
+        alpha, _, _, _, _, _, _, _ = _chunk_alpha_mxu(
+            blk, phi_ref[:], ta, 0, lim, chunk, grid_x
+        )
+        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
+        t_before, t_cum, live, state_a = _chunk_transmittance(
+            alpha, t_a, "mxu", chunk, terms=2
+        )
+        w = jnp.where(live, alpha * t_before, 0.0)
+        feats = blk[ROW_FEAT0:, :]
+        color_a_ref[0] = jax.lax.dot_general(
+            feats, w, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        if need_depth:
+            d_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            d_a = d_a + jnp.sum(
+                jnp.where(crossing, dep_row, 0.0), axis=1, keepdims=True
+            )
+        else:
+            d_a = zero_c
+        aux_a_ref[0] = _aux_pm(
+            t_a, hia, carr_a_ref, state_a, d_a, jnp.max(dep_v)
+        )
+        # color_b/aux_b untouched: their blocks map to tile_b == tile_a and
+        # the compose masks never read a non-B tile from the B arrays
+
+    # two-residue chunk: segmented scan, both tiles finalize here
+    @pl.when((lim > 0) & boundary)
     def _():
         blk = inst_ref[:]
         alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
             blk, phi_ref[:], ta, tb, send, lim, chunk, grid_x
         )
-        init_t = jnp.ones((NPIX, 1), jnp.float32)
         t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
         t_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 0), init_t)
         t_before, t_cum, live, state_a, state_b = (
             _chunk_transmittance_split(alpha, t_a, t_b, send, chunk, terms=2)
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         cola = col < send
         w = jnp.where(live, alpha * t_before, 0.0)
         wa = jnp.where(cola, w, 0.0)
@@ -1558,13 +1618,11 @@ def _fwd_kernel_tail(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        zero_c = jnp.zeros((NPIX, 1), jnp.float32)
         if need_depth:
             d_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
             d_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 1), zero_c)
-            dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
-            cdep = jnp.where(crossing, dep, 0.0)
+            cdep = jnp.where(crossing, dep_row, 0.0)
             d_a = d_a + jnp.sum(
                 jnp.where(cola, cdep, 0.0), axis=1, keepdims=True
             )
@@ -1573,35 +1631,13 @@ def _fwd_kernel_tail(
             )
         else:
             d_a = d_b = zero_c
-        # saturation depth: alive tiles report SAT_INF; a tile that died
-        # DURING its residue reports the residue's max processed depth; one
-        # already dead at entry reports the interior call's candidate
-        valid = col < lim
-        dep_v = jnp.where(valid, blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0)
-
-        def _aux(seg, t_in, has_carry, carr_ref, state, d_seg):
-            entry_alive = jnp.max(t_in) > 0.0
-            satd_carry = jnp.max(
-                jnp.where(has_carry == 1, _carry_col(carr_ref, 2), zero_c)
-            )
-            cand = jnp.where(
-                entry_alive,
-                jnp.max(jnp.where(seg, dep_v, 0.0)),
-                satd_carry,
-            )
-            sat = jnp.where(jnp.max(state) > 0.0, SAT_INF, cand)
-            return jnp.concatenate(
-                [
-                    jnp.concatenate([d_seg, jnp.abs(state)], axis=1).T,
-                    jnp.full((1, NPIX), sat, jnp.float32),
-                    jnp.zeros((5, NPIX), jnp.float32),
-                ],
-                axis=0,
-            )
-
-        aux_a_ref[0] = _aux(cola, t_a, hia, carr_a_ref, state_a, d_a)
-        aux_b_ref[0] = _aux(
-            jnp.logical_not(cola), t_b, hib, carr_b_ref, state_b, d_b
+        aux_a_ref[0] = _aux_pm(
+            t_a, hia, carr_a_ref, state_a, d_a,
+            jnp.max(jnp.where(cola, dep_v, 0.0)),
+        )
+        aux_b_ref[0] = _aux_pm(
+            t_b, hib, carr_b_ref, state_b, d_b,
+            jnp.max(jnp.where(cola, 0.0, dep_v)),
         )
 
 
@@ -1639,14 +1675,100 @@ def _bwd_kernel_tail(
             (1, chunk), BIG_KEY, jnp.float32
         )
 
-    @pl.when(lim > 0)
+    boundary = send < lim
+    init_t = jnp.ones((NPIX, 1), jnp.float32)
+    zero_c = jnp.zeros((NPIX, 1), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def _rows_out(blk, xl, yl, dop_int, dpower, gdep_row, gfeat):
+        # shared moment-matmul gradient-row assembly (see _bwd_chunk_body)
+        mom24 = jax.lax.dot_general(
+            phipm_ref[NPIX:, :],
+            _split2(dpower, axis=1),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        mom = (
+            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
+            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
+            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
+        )
+        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
+        ca = blk[ROW_CA : ROW_CA + 1, :]
+        cb = blk[ROW_CB : ROW_CB + 1, :]
+        cc = blk[ROW_CC : ROW_CC + 1, :]
+        sdx = xl * s0 - sx
+        sdy = yl * s0 - sy
+        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
+        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
+        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
+        grows = jnp.concatenate(
+            [
+                -(ca * sdx + cb * sdy),
+                -(cc * sdy + cb * sdx),
+                -0.5 * sdxx,
+                -sdxy,
+                -0.5 * sdyy,
+                jnp.sum(dop_int, axis=0, keepdims=True),
+                gdep_row,
+                _row_key(blk, 0, lim, chunk),
+            ],
+            axis=0,
+        )
+        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
+
+    # single-residue chunk: the aligned step's math seeded from the carry
+    @pl.when((lim > 0) & jnp.logical_not(boundary))
+    def _():
+        blk = inst_ref[:]
+        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
+            blk, phipm_ref[0:NPIX, :], ta, 0, lim, chunk, grid_x
+        )
+        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
+        acc_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
+        t_before, t_cum, live, _ = _chunk_transmittance(
+            alpha, t_a, "mxu", chunk, terms=2
+        )
+        w = jnp.where(live, alpha * t_before, 0.0)
+        g_color_a = gct_a_ref[0, 0:NFEAT_PAD]
+        feats = blk[ROW_FEAT0:, :]
+        gc = jax.lax.dot_general(
+            g_color_a, feats, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        wgc = w * gc
+        rem = _colx(gct_a_ref[0], 9) - acc_a
+        suffix = rem - _cumsum_mxu(wgc, _triangular(chunk), terms=2)
+        dalpha = jnp.where(
+            live, t_before * gc - suffix / (1.0 - alpha), 0.0
+        )
+        unclamped = keep & (raw < ALPHA_CAP)
+        dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
+        dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
+        if need_depth:
+            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
+            gdep_row = jnp.sum(
+                jnp.where(crossing, _colx(gct_a_ref[0], 8), 0.0),
+                axis=0, keepdims=True,
+            )
+        else:
+            gdep_row = jnp.zeros((1, chunk), jnp.float32)
+        gfeat = jax.lax.dot_general(
+            g_color_a, w, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        _rows_out(blk, xl, yl, dop_int, dpower, gdep_row, gfeat)
+
+    # two-residue chunk: segmented scan, per-column tile constants
+    @pl.when((lim > 0) & boundary)
     def _():
         blk = inst_ref[:]
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
             blk, phipm_ref[0:NPIX, :], ta, tb, send, lim, chunk, grid_x
         )
-        init_t = jnp.ones((NPIX, 1), jnp.float32)
-        zero_c = jnp.zeros((NPIX, 1), jnp.float32)
         t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
         t_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 0), init_t)
         acc_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
@@ -1654,7 +1776,6 @@ def _bwd_kernel_tail(
         t_before, t_cum, live, _, _ = _chunk_transmittance_split(
             alpha, t_a, t_b, send, chunk, terms=2
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         cola = col < send
         w = jnp.where(live, alpha * t_before, 0.0)
 
@@ -1698,40 +1819,6 @@ def _bwd_kernel_tail(
         else:
             gdep_row = jnp.zeros((1, chunk), jnp.float32)
 
-        mom24 = jax.lax.dot_general(
-            phipm_ref[NPIX:, :],
-            _split2(dpower, axis=1),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )
-        mom = (
-            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
-            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
-            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
-        )
-        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
-        ca = blk[ROW_CA : ROW_CA + 1, :]
-        cb = blk[ROW_CB : ROW_CB + 1, :]
-        cc = blk[ROW_CC : ROW_CC + 1, :]
-        sdx = xl * s0 - sx
-        sdy = yl * s0 - sy
-        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
-        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
-        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
-        grows = jnp.concatenate(
-            [
-                -(ca * sdx + cb * sdy),
-                -(cc * sdy + cb * sdx),
-                -0.5 * sdxx,
-                -sdxy,
-                -0.5 * sdyy,
-                jnp.sum(dop_int, axis=0, keepdims=True),
-                gdep_row,
-                _row_key(blk, 0, lim, chunk),
-            ],
-            axis=0,
-        )
         wa = jnp.where(cola, w, 0.0)
         wb = w - wa
         gfeat = jax.lax.dot_general(
@@ -1743,7 +1830,7 @@ def _bwd_kernel_tail(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
+        _rows_out(blk, xl, yl, dop_int, dpower, gdep_row, gfeat)
 
 
 def _fisher_chunk_body(
@@ -2193,17 +2280,17 @@ def _make_fwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
             ],
             out_specs=[
                 _atile_spec(NFEAT_PAD),
-                _atile_spec(8),
+                _acarry_spec(),  # aux A, pixel-major (see _aux_pm)
                 _btile_spec(NFEAT_PAD),
-                _btile_spec(8),
+                _bcarry_spec(),  # aux B, pixel-major
             ],
             scratch_shapes=[],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -2329,12 +2416,12 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
             + jnp.where(ma, color_a, zc)
             + jnp.where(mb, color_b, zc)
         )
+        # tail aux arrives PIXEL-major (kernel-side lane selects instead of
+        # per-step relayouts); select in that layout, transpose ONCE
+        aux_t = jnp.swapaxes(jnp.where(ma, aux_a, aux_b), 1, 2)
         aux = jnp.where(
-            ma, aux_a,
-            jnp.where(
-                mb, aux_b,
-                jnp.where(mi, aux_i, jnp.asarray(_empty_aux_np())[None]),
-            ),
+            ma | mb, aux_t,
+            jnp.where(mi, aux_i, jnp.asarray(_empty_aux_np())[None]),
         )
         return stream, color, aux
 
