@@ -238,6 +238,7 @@ def shrink_binned(binned, chunk: int, max_stream: int, max_chunks: int,
             tsl=binned.tsl[:nct],
             tbt=binned.tbt[:nct],
             tblk=jnp.minimum(nci + ct, nci + nct - 1),
+            tail_cid=jnp.minimum(binned.tail_cid, nct - 1),
             overflow=binned.overflow | over,
         )
     # valid stream BLOCK indices after the shrink: _build_stream pads one
@@ -859,6 +860,9 @@ class BinnedSplit(NamedTuple):
     stream_rows: jax.Array = None  # alias of padded_total (sizer metric)
     used_interior: jax.Array = None  # () int32 interior chunks in use
     used_tail: jax.Array = None  # () int32 tail chunks in use
+    tail_cid: jax.Array = None  # (T,) tail chunk index per tile (0 when
+    # the tile has no tail; gate with mask_a | mask_b)
+    tail_role: jax.Array = None  # (T,) 0 = A segment, 1 = B segment
     slot_pos: jax.Array | None = None  # unsupported (reduction='sort' only)
     slot_off: jax.Array | None = None
 
@@ -1014,6 +1018,14 @@ def bin_gaussians_split(
     mask_b = (
         jnp.zeros(t_len + 1, jnp.bool_).at[b_tiles].set(True, mode="drop")
     )[:t_len]
+    # per-TILE tail chunk / segment role (the pair-block outputs are
+    # indexed by chunk; the compose gathers them back to tile order)
+    rank_tiles = jnp.where(valid_rank, ord_tiles, t_len)
+    tailtab = jnp.zeros((t_len + 1, 2), jnp.int32).at[rank_tiles].set(
+        jnp.stack([cid, role_b.astype(jnp.int32)], axis=-1), mode="drop"
+    )[:t_len]
+    tail_cid = jnp.minimum(tailtab[:, 0], nct - 1)
+    tail_role = tailtab[:, 1]
 
     # ---- split gid stream (chunk-table gather, no K-sized scatter) -------
     ncall = nci + nct
@@ -1066,6 +1078,8 @@ def bin_gaussians_split(
         stream_rows=used,
         used_interior=used_i,
         used_tail=used_t,
+        tail_cid=tail_cid,
+        tail_role=tail_role,
     )
 
 

@@ -947,13 +947,11 @@ def _colx(block, row):
     )
 
 
-def _carry_col(carr_ref, j):
-    """(NPIX, 1) lane ``j`` of a pixel-major (1, NPIX, 8) carry block —
+def _carry_col(carr, j):
+    """(NPIX, 1) lane ``j`` of a pixel-major (NPIX, 8) carry array —
     two VPU ops on a (256, 8) array, no relayout (split-layout carries)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
-    return jnp.sum(
-        jnp.where(lane == j, carr_ref[0], 0.0), axis=1, keepdims=True
-    )
+    return jnp.sum(jnp.where(lane == j, carr, 0.0), axis=1, keepdims=True)
 
 
 def _ga_gdep_blocks(g_color, g_aux, color, aux):
@@ -1505,13 +1503,11 @@ def _fwd_kernel_tail(
     tblk_ref,  # scalar-prefetch (NCt,) int32 stream block per chunk
     inst_ref,  # (ROWS, chunk) residue-pair stream chunk
     phi_ref,  # (NPIX, 27) bf16 power basis
-    carr_a_ref,  # (1, 8, NPIX) tile A's interior fwd carry (garbage when
-    #              has_interior_a == 0 — replaced by the initial state)
-    carr_b_ref,  # same for tile B
-    color_a_ref,  # (1, NFEAT_PAD, NPIX) out: tile A's residue contribution
-    aux_a_ref,  # (1, 8, NPIX) out: tile A's FINAL aux
-    color_b_ref,  # same pair for tile B (garbage on single-residue chunks;
-    aux_b_ref,  # the compose masks never read them)
+    carrp_ref,  # (1, 2, NPIX, 8) BOTH segments' interior fwd carries,
+    #             gathered per chunk XLA-side (garbage halves where the
+    #             has_interior flags are 0 — replaced by the initial state)
+    colorp_ref,  # (1, 2, NFEAT_PAD, NPIX) out: both residue contributions
+    auxp_ref,  # (1, 2, NPIX, 8) out: both tiles' FINAL aux (pixel-major)
     *,
     grid_x: int,
     chunk: int,
@@ -1520,8 +1516,12 @@ def _fwd_kernel_tail(
     """Split-layout tail forward: one chunk = up to two tiles' FINAL
     residues, seeded from the interior call's carries. Each tile finishes
     here, so this writes final color contributions AND final aux for both
-    segments. Pads (lim == 0) write nothing — their output blocks stay on
-    the last real chunk's tiles (edge-padded tables)."""
+    segments. ALL per-step varying blocks are indexed BY CHUNK and carry
+    the (A, B) pair in one block: per-block DMA issue cost (~150 ns each,
+    tools/kernel_ablate.py) scales with block COUNT, not bytes, and does
+    NOT amortize with grid grouping — it dominated the first tail cut
+    (6 tile-indexed blocks/step). The compose gathers tiles back out with
+    one (T,)-row gather per array. Pads (lim == 0) write nothing."""
     c = pl.program_id(0)
     ma = tmeta_ref[c]
     ta, hia = ma >> 1, ma & 1
@@ -1537,7 +1537,7 @@ def _fwd_kernel_tail(
     dep_row = inst_ref[ROW_DEPTH : ROW_DEPTH + 1, :]
     dep_v = jnp.where(col < lim, dep_row, 0.0)
 
-    def _aux_pm(t_in, has_carry, carr_ref, state, d_seg, segdep_max):
+    def _aux_pm(t_in, has_carry, carr, state, d_seg, segdep_max):
         # PIXEL-major (NPIX, 8) final aux: lane 0 = median-depth accum,
         # lane 1 = final T, lane 2 = sat depth. Lane selects instead of the
         # aligned kernel's (NPIX, 2).T — a Mosaic relayout per STEP here
@@ -1545,7 +1545,7 @@ def _fwd_kernel_tail(
         # whole array once XLA-side.
         entry_alive = jnp.max(t_in) > 0.0
         satd_carry = jnp.max(
-            jnp.where(has_carry == 1, _carry_col(carr_ref, 2), zero_c)
+            jnp.where(has_carry == 1, _carry_col(carr, 2), zero_c)
         )
         cand = jnp.where(entry_alive, segdep_max, satd_carry)
         sat = jnp.where(jnp.max(state) > 0.0, SAT_INF, cand)
@@ -1566,30 +1566,31 @@ def _fwd_kernel_tail(
         alpha, _, _, _, _, _, _, _ = _chunk_alpha_mxu(
             blk, phi_ref[:], ta, 0, lim, chunk, grid_x
         )
-        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
+        carr_a = carrp_ref[0, 0]
+        t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
         t_before, t_cum, live, state_a = _chunk_transmittance(
             alpha, t_a, "mxu", chunk, terms=2
         )
         w = jnp.where(live, alpha * t_before, 0.0)
         feats = blk[ROW_FEAT0:, :]
-        color_a_ref[0] = jax.lax.dot_general(
+        colorp_ref[0, 0] = jax.lax.dot_general(
             feats, w, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         if need_depth:
-            d_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
+            d_a = jnp.where(hia == 1, _carry_col(carr_a, 1), zero_c)
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
             d_a = d_a + jnp.sum(
                 jnp.where(crossing, dep_row, 0.0), axis=1, keepdims=True
             )
         else:
             d_a = zero_c
-        aux_a_ref[0] = _aux_pm(
-            t_a, hia, carr_a_ref, state_a, d_a, jnp.max(dep_v)
+        auxp_ref[0, 0] = _aux_pm(
+            t_a, hia, carr_a, state_a, d_a, jnp.max(dep_v)
         )
-        # color_b/aux_b untouched: their blocks map to tile_b == tile_a and
-        # the compose masks never read a non-B tile from the B arrays
+        # the B halves stay untouched: no tile gathers role B from a
+        # single-residue chunk
 
     # two-residue chunk: segmented scan, both tiles finalize here
     @pl.when((lim > 0) & boundary)
@@ -1598,8 +1599,10 @@ def _fwd_kernel_tail(
         alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
             blk, phi_ref[:], ta, tb, send, lim, chunk, grid_x
         )
-        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
-        t_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 0), init_t)
+        carr_a = carrp_ref[0, 0]
+        carr_b = carrp_ref[0, 1]
+        t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
+        t_b = jnp.where(hib == 1, _carry_col(carr_b, 0), init_t)
         t_before, t_cum, live, state_a, state_b = (
             _chunk_transmittance_split(alpha, t_a, t_b, send, chunk, terms=2)
         )
@@ -1608,19 +1611,19 @@ def _fwd_kernel_tail(
         wa = jnp.where(cola, w, 0.0)
         wb = w - wa
         feats = blk[ROW_FEAT0:, :]
-        color_a_ref[0] = jax.lax.dot_general(
+        colorp_ref[0, 0] = jax.lax.dot_general(
             feats, wa, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        color_b_ref[0] = jax.lax.dot_general(
+        colorp_ref[0, 1] = jax.lax.dot_general(
             feats, wb, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         if need_depth:
-            d_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
-            d_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 1), zero_c)
+            d_a = jnp.where(hia == 1, _carry_col(carr_a, 1), zero_c)
+            d_b = jnp.where(hib == 1, _carry_col(carr_b, 1), zero_c)
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
             cdep = jnp.where(crossing, dep_row, 0.0)
             d_a = d_a + jnp.sum(
@@ -1631,12 +1634,12 @@ def _fwd_kernel_tail(
             )
         else:
             d_a = d_b = zero_c
-        aux_a_ref[0] = _aux_pm(
-            t_a, hia, carr_a_ref, state_a, d_a,
+        auxp_ref[0, 0] = _aux_pm(
+            t_a, hia, carr_a, state_a, d_a,
             jnp.max(jnp.where(cola, dep_v, 0.0)),
         )
-        aux_b_ref[0] = _aux_pm(
-            t_b, hib, carr_b_ref, state_b, d_b,
+        auxp_ref[0, 1] = _aux_pm(
+            t_b, hib, carr_b, state_b, d_b,
             jnp.max(jnp.where(cola, 0.0, dep_v)),
         )
 
@@ -1648,10 +1651,9 @@ def _bwd_kernel_tail(
     tblk_ref,
     inst_ref,  # (ROWS, chunk)
     phipm_ref,  # (2*NPIX, 27) merged power+moment basis
-    gct_a_ref,  # (1, 16, NPIX) per-tile backward input, tile A
-    gct_b_ref,  # same, tile B
-    carr_a_ref,  # (1, 8, NPIX) tile A's interior BWD carry (t_run, accwgc)
-    carr_b_ref,
+    gcp_ref,  # (1, 2, 16, NPIX) BOTH tiles' backward inputs, gathered per
+    #           chunk XLA-side (per-block DMA cost — see _fwd_kernel_tail)
+    carrp_ref,  # (1, 2, NPIX, 8) both interior BWD carries (t_run, accwgc)
     ginst_ref,  # (ROWS, chunk) out: gradient rows; ROW_GID = reduction key
     *,
     grid_x: int,
@@ -1725,13 +1727,14 @@ def _bwd_kernel_tail(
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
             blk, phipm_ref[0:NPIX, :], ta, 0, lim, chunk, grid_x
         )
-        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
-        acc_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
+        carr_a = carrp_ref[0, 0]
+        t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
+        acc_a = jnp.where(hia == 1, _carry_col(carr_a, 1), zero_c)
         t_before, t_cum, live, _ = _chunk_transmittance(
             alpha, t_a, "mxu", chunk, terms=2
         )
         w = jnp.where(live, alpha * t_before, 0.0)
-        g_color_a = gct_a_ref[0, 0:NFEAT_PAD]
+        g_color_a = gcp_ref[0, 0, 0:NFEAT_PAD]
         feats = blk[ROW_FEAT0:, :]
         gc = jax.lax.dot_general(
             g_color_a, feats, (((0,), (0,)), ((), ())),
@@ -1739,7 +1742,7 @@ def _bwd_kernel_tail(
             preferred_element_type=jnp.float32,
         )
         wgc = w * gc
-        rem = _colx(gct_a_ref[0], 9) - acc_a
+        rem = _colx(gcp_ref[0, 0], 9) - acc_a
         suffix = rem - _cumsum_mxu(wgc, _triangular(chunk), terms=2)
         dalpha = jnp.where(
             live, t_before * gc - suffix / (1.0 - alpha), 0.0
@@ -1750,7 +1753,7 @@ def _bwd_kernel_tail(
         if need_depth:
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
             gdep_row = jnp.sum(
-                jnp.where(crossing, _colx(gct_a_ref[0], 8), 0.0),
+                jnp.where(crossing, _colx(gcp_ref[0, 0], 8), 0.0),
                 axis=0, keepdims=True,
             )
         else:
@@ -1769,18 +1772,20 @@ def _bwd_kernel_tail(
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
             blk, phipm_ref[0:NPIX, :], ta, tb, send, lim, chunk, grid_x
         )
-        t_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 0), init_t)
-        t_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 0), init_t)
-        acc_a = jnp.where(hia == 1, _carry_col(carr_a_ref, 1), zero_c)
-        acc_b = jnp.where(hib == 1, _carry_col(carr_b_ref, 1), zero_c)
+        carr_a = carrp_ref[0, 0]
+        carr_b = carrp_ref[0, 1]
+        t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
+        t_b = jnp.where(hib == 1, _carry_col(carr_b, 0), init_t)
+        acc_a = jnp.where(hia == 1, _carry_col(carr_a, 1), zero_c)
+        acc_b = jnp.where(hib == 1, _carry_col(carr_b, 1), zero_c)
         t_before, t_cum, live, _, _ = _chunk_transmittance_split(
             alpha, t_a, t_b, send, chunk, terms=2
         )
         cola = col < send
         w = jnp.where(live, alpha * t_before, 0.0)
 
-        g_color_a = gct_a_ref[0, 0:NFEAT_PAD]
-        g_color_b = gct_b_ref[0, 0:NFEAT_PAD]
+        g_color_a = gcp_ref[0, 0, 0:NFEAT_PAD]
+        g_color_b = gcp_ref[0, 1, 0:NFEAT_PAD]
         feats = blk[ROW_FEAT0:, :]
         gc_a = jax.lax.dot_general(
             g_color_a, feats, (((0,), (0,)), ((), ())),
@@ -1794,8 +1799,8 @@ def _bwd_kernel_tail(
         )
         gc = jnp.where(cola, gc_a, gc_b)
         wgc = w * gc
-        ga_a = _colx(gct_a_ref[0], 9)
-        ga_b = _colx(gct_b_ref[0], 9)
+        ga_a = _colx(gcp_ref[0, 0], 9)
+        ga_b = _colx(gcp_ref[0, 1], 9)
         rem = jnp.where(cola, ga_a - acc_a, ga_b - acc_b)
         suffix = rem - _cumsum_mxu(wgc, _seg_mask(send, chunk), terms=2)
 
@@ -1810,7 +1815,7 @@ def _bwd_kernel_tail(
 
         if need_depth:
             gdep = jnp.where(
-                cola, _colx(gct_a_ref[0], 8), _colx(gct_b_ref[0], 8)
+                cola, _colx(gcp_ref[0, 0], 8), _colx(gcp_ref[0, 1], 8)
             )
             crossing = (t_before > 0.5) & (t_cum < 0.5) & live
             gdep_row = jnp.sum(
@@ -2244,15 +2249,12 @@ def _btile_spec(rows):
     )
 
 
-def _acarry_spec():
+def _pair_spec(*dims):
+    """Per-CHUNK pair block (A and B halves in one DMA)."""
+    nd = len(dims)
     return pl.BlockSpec(
-        (1, NPIX, 8), lambda c, tmeta, tsl, tbt, tblk: (tmeta[c] >> 1, 0, 0)
-    )
-
-
-def _bcarry_spec():
-    return pl.BlockSpec(
-        (1, NPIX, 8), lambda c, tmeta, tsl, tbt, tblk: (tbt[c] >> 1, 0, 0)
+        (1, 2) + dims,
+        lambda c, tmeta, tsl, tbt, tblk: (c, 0) + (0,) * nd,
     )
 
 
@@ -2275,22 +2277,17 @@ def _make_fwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
                 pl.BlockSpec(
                     (NPIX, 27), lambda c, tmeta, tsl, tbt, tblk: (0, 0)
                 ),
-                _acarry_spec(),
-                _bcarry_spec(),
+                _pair_spec(NPIX, 8),
             ],
             out_specs=[
-                _atile_spec(NFEAT_PAD),
-                _acarry_spec(),  # aux A, pixel-major (see _aux_pm)
-                _btile_spec(NFEAT_PAD),
-                _bcarry_spec(),  # aux B, pixel-major
+                _pair_spec(NFEAT_PAD, NPIX),
+                _pair_spec(NPIX, 8),
             ],
             scratch_shapes=[],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nct, 2, NFEAT_PAD, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((nct, 2, NPIX, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -2349,10 +2346,8 @@ def _make_bwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
                     (2 * NPIX, 27),
                     lambda c, tmeta, tsl, tbt, tblk: (0, 0),
                 ),
-                _atile_spec(16),
-                _btile_spec(16),
-                _acarry_spec(),
-                _bcarry_spec(),
+                _pair_spec(16, NPIX),
+                _pair_spec(NPIX, 8),
             ],
             out_specs=[
                 pl.BlockSpec(
@@ -2400,45 +2395,58 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
         i for i in range(ROW_GID) if carry_depth or i != ROW_DEPTH
     ) + tuple(range(ROW_FEAT0, ROW_FEAT0 + nfeat))
 
+    def _pair_rows(x, tmeta, tbt):
+        # (T, ...) per-tile array -> (NCt, 2, ...) per-chunk A/B pair rows
+        pt = jnp.stack([tmeta >> 1, tbt >> 1], axis=-1)  # (NCt, 2)
+        rows = jnp.take(x, jax.lax.optimization_barrier(pt.ravel()), axis=0)
+        return jax.lax.optimization_barrier(rows).reshape(
+            (pt.shape[0], 2) + x.shape[1:]
+        )
+
+    def _tail_rows(x, tcid, trole):
+        # (NCt, 2, ...) pair output -> (T, ...) per-tile rows
+        flat = x.reshape((-1,) + x.shape[2:])
+        idx = jnp.minimum(tcid * 2 + trole, flat.shape[0] - 1)
+        rows = jnp.take(flat, jax.lax.optimization_barrier(idx), axis=0)
+        return jax.lax.optimization_barrier(rows)
+
     def _forward(attrs, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
-                 mask_int, mask_a, mask_b):
+                 mask_int, has_tail, tcid, trole):
         stream = _build_stream(attrs, gid, chunk)
         color_i, aux_i, carry = fwd_int(imeta, ilim, iblk, stream, _phi_pow())
-        color_a, aux_a, color_b, aux_b = fwd_tail(
-            tmeta, tsl, tbt, tblk, stream, _phi_pow(), carry, carry
+        colorp, auxp = fwd_tail(
+            tmeta, tsl, tbt, tblk, stream, _phi_pow(),
+            _pair_rows(carry, tmeta, tbt),
         )
         mi = mask_int[:, None, None]
-        ma = mask_a[:, None, None]
-        mb = mask_b[:, None, None]
+        ht = has_tail[:, None, None]
         zc = jnp.float32(0.0)
-        color = (
-            jnp.where(mi, color_i, zc)
-            + jnp.where(ma, color_a, zc)
-            + jnp.where(mb, color_b, zc)
+        color = jnp.where(mi, color_i, zc) + jnp.where(
+            ht, _tail_rows(colorp, tcid, trole), zc
         )
         # tail aux arrives PIXEL-major (kernel-side lane selects instead of
-        # per-step relayouts); select in that layout, transpose ONCE
-        aux_t = jnp.swapaxes(jnp.where(ma, aux_a, aux_b), 1, 2)
+        # per-step relayouts); gather per tile, transpose ONCE
+        aux_t = jnp.swapaxes(_tail_rows(auxp, tcid, trole), 1, 2)
         aux = jnp.where(
-            ma | mb, aux_t,
+            ht, aux_t,
             jnp.where(mi, aux_i, jnp.asarray(_empty_aux_np())[None]),
         )
         return stream, color, aux
 
     @jax.custom_vjp
     def raster(attrs, hist, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
-               mask_int, mask_a, mask_b):
+               mask_int, has_tail, tcid, trole):
         _, color, aux = _forward(
             attrs, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
-            mask_int, mask_a, mask_b,
+            mask_int, has_tail, tcid, trole,
         )
         return color, aux
 
     def raster_fwd(attrs, hist, gid, imeta, ilim, iblk, tmeta, tsl, tbt,
-                   tblk, mask_int, mask_a, mask_b):
+                   tblk, mask_int, has_tail, tcid, trole):
         stream, color, aux = _forward(
             attrs, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
-            mask_int, mask_a, mask_b,
+            mask_int, has_tail, tcid, trole,
         )
         return (color, aux), (
             stream, hist, imeta, ilim, iblk, tmeta, tsl, tbt, tblk, color,
@@ -2454,12 +2462,12 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
             imeta, ilim, iblk, stream, _phi_pm(), gct
         )
         (ginst_t,) = bwd_tail(
-            tmeta, tsl, tbt, tblk, stream, _phi_pm(), gct, gct, carry_b,
-            carry_b,
+            tmeta, tsl, tbt, tblk, stream, _phi_pm(),
+            _pair_rows(gct, tmeta, tbt), _pair_rows(carry_b, tmeta, tbt),
         )
         ginst = jnp.concatenate([ginst_i, ginst_t], axis=1)
         per_gauss = segment_reduce_by_key(ginst, ROW_GID, hist, value_rows)
-        return (per_gauss.T,) + (None,) * 12
+        return (per_gauss.T,) + (None,) * 13
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster
@@ -2982,8 +2990,9 @@ def rasterize_tiles_pallas(
         color, aux = fn(
             attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,
             binned.chunk_lim, binned.chunk_blk, binned.tmeta, binned.tsl,
-            binned.tbt, binned.tblk, binned.mask_int, binned.mask_a,
-            binned.mask_b,
+            binned.tbt, binned.tblk, binned.mask_int,
+            binned.mask_a | binned.mask_b, binned.tail_cid,
+            binned.tail_role,
         )
         return PallasRasterOut(color=color, aux=aux)
     if hasattr(binned, "chunk_btile"):  # BinnedPacked stream
