@@ -1,5 +1,6 @@
 from splatam_tpu.fisher.fisher import (
     eig_score,
+    fisher_gains_batch,
     fisher_h_train,
     h_train_inverse,
     nonlinear_gain,
@@ -11,6 +12,7 @@ from splatam_tpu.fisher.fisher import (
 
 __all__ = [
     "eig_score",
+    "fisher_gains_batch",
     "fisher_h_train",
     "h_train_inverse",
     "nonlinear_gain",

@@ -271,6 +271,40 @@ def render_gains(
     return g_sil.astype(jnp.float32), g_eig, overflow
 
 
+def fisher_gains_batch(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    rots: jax.Array,  # (P, 4) w2c rotations as quaternions
+    trans: jax.Array,  # (P, 3)
+    weights: jax.Array,  # (P,) f32 0/1 — padded slots carry weight 0
+    cam: Camera,
+    cfg: RasterConfig,
+    h_train_inv: jax.Array | None = None,
+    seed_value: float = 1e-3,
+):
+    """Score a whole candidate PoseArray in ONE compiled program.
+
+    `send_gains` scores every candidate in one planner callback
+    (`ros_handler.py:251-359`); a host loop over `render_gains` pays the
+    ~35 ms tunnel dispatch + per-pose binning dispatch chain per candidate
+    (132.6 ms each, PROFILE.md r4). This is the same device-side padded
+    lax.scan as `fisher_h_train`: one dispatch, one (P,)+(P,)+() fetch.
+    Returns (g_sil, g_eig, overflow) — overflow only counts weighted poses.
+    """
+
+    def body(over_acc, rt):
+        r, t, wgt = rt
+        g_sil, g_eig, over = render_gains(
+            params, active, r, t, cam, cfg, h_train_inv, seed_value
+        )
+        return over_acc | (over & (wgt > 0)), (g_sil, g_eig)
+
+    over, (sils, eigs) = jax.lax.scan(
+        body, jnp.zeros((), bool), (rots, trans, weights)
+    )
+    return sils, eigs, over
+
+
 def h_train_inverse(
     hessians: Sequence[np.ndarray],
     monte_carlo: int | None = 40,

@@ -26,6 +26,7 @@ import numpy as np
 
 from splatam_tpu.core.losses import render_for_loss
 from splatam_tpu.fisher import (
+    fisher_gains_batch,
     fisher_h_train,
     render_fisher,
     render_gains,
@@ -162,6 +163,16 @@ class ActiveViewHandler:
                 p, a, r, t, self.cam, cfg, hinv, seed
             )
         )
+        self._gains_batch_sil = jax.jit(
+            lambda p, a, r, t, w: fisher_gains_batch(
+                p, a, r, t, w, self.cam, cfg, None, seed
+            )
+        )
+        self._gains_batch_eig = jax.jit(
+            lambda p, a, r, t, w, hinv: fisher_gains_batch(
+                p, a, r, t, w, self.cam, cfg, hinv, seed
+            )
+        )
         self._htrain = jax.jit(
             lambda p, a, r, t, w: fisher_h_train(
                 p, a, r, t, w, self.cam, cfg, seed_value=seed
@@ -284,19 +295,54 @@ class ActiveViewHandler:
         candidate_pose_vecs: Sequence[np.ndarray],
     ) -> List[Dict[str, float]]:
         """Score candidate planner poses ([tx ty tz qx qy qz qw] each);
-        `send_gains` parity (`ros_handler.py:251-359`)."""
+        `send_gains` parity (`ros_handler.py:251-359`).
+
+        The whole PoseArray is scored by ONE device program
+        (fisher_gains_batch, padded to power-of-two tiers so recompiles are
+        O(log candidates)): the per-candidate host loop paid the ~35 ms
+        tunnel dispatch chain per pose (132.6 ms/candidate, PROFILE.md r4)
+        — the same fix as the H_train padded-batch scan above.
+        """
         cfg = self.cfg
+        if not candidate_pose_vecs:
+            return []
         gauss = self._gauss(params)
         use_eig = cfg.k_eig != 0 and self._h_train_inv_dev is not None
-        results = []
-        for vec in candidate_pose_vecs:
+        n = len(candidate_pose_vecs)
+        pad = 1
+        while pad < n:
+            pad *= 2
+        rots = np.zeros((pad, 4), np.float32)
+        rots[:, 0] = 1.0
+        trans = np.zeros((pad, 3), np.float32)
+        wgt = np.zeros((pad,), np.float32)
+        for i, vec in enumerate(candidate_pose_vecs):
             pose_mat = pose_matrix_from_quaternion(np.asarray(vec))
             if self.initial_pose is not None:
                 pose_mat = relative_transformation(self.initial_pose, pose_mat)
-            w2c = np.linalg.inv(pose_mat)
-            g_sil, g_eig = self._gains_one(gauss, active, w2c, use_eig)
-            g_sil *= cfg.k_sil
-            g_eig *= cfg.k_eig
+            rots[i], trans[i] = _w2c_rt(np.linalg.inv(pose_mat))
+            wgt[i] = 1.0
+        for _ in range(4):
+            self._ensure_sized(gauss, active, rots[0], trans[0])
+            if use_eig:
+                sils, eigs, over = self._gains_batch_eig(
+                    gauss, active, jnp.asarray(rots), jnp.asarray(trans),
+                    jnp.asarray(wgt), self._h_train_inv_dev,
+                )
+            else:
+                sils, eigs, over = self._gains_batch_sil(
+                    gauss, active, jnp.asarray(rots), jnp.asarray(trans),
+                    jnp.asarray(wgt),
+                )
+            out = np.asarray(jnp.concatenate([sils, eigs]))
+            if not bool(over):
+                break
+            self._grow()
+        sils_h, eigs_h = out[:pad], out[pad:]
+        results = []
+        for i in range(n):
+            g_sil = float(sils_h[i]) * cfg.k_sil
+            g_eig = float(eigs_h[i]) * cfg.k_eig
             if cfg.nl_sil:
                 g_sil = _nonlinear(g_sil)
             if cfg.nl_eig:

@@ -213,8 +213,12 @@ def test_saturation_depth_cap_trims_and_matches():
     np.testing.assert_allclose(
         np.asarray(out_trim.depth), np.asarray(ref.depth), atol=1e-5, rtol=1e-4
     )
+    # rtol + small atol so near-zero (saturated, ~T_STOP) transmittances —
+    # exactly where the sat-depth trim operates — stay meaningfully
+    # constrained (ADVICE r3 / VERDICT r4 item 8)
     np.testing.assert_allclose(
-        np.asarray(out_trim.final_t), np.asarray(ref.final_t), atol=1e-4
+        np.asarray(out_trim.final_t), np.asarray(ref.final_t),
+        atol=2e-5, rtol=1e-4,
     )
 
     # gradients flow identically through the trimmed stream
