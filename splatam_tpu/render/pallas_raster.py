@@ -622,11 +622,9 @@ def _fwd_kernel(
         # HBM block handing the tile's end state to the tail call — lane 0 =
         # t_run (SIGNED, death encoding intact), lane 1 = median-depth
         # accumulator, lane 2 = saturation-depth candidate (broadcast).
-        # PIXEL-major on purpose: the scratch lives as (NPIX, 1) columns, so
-        # both the write here and the read in the tail kernel are lane
-        # selects — a channel-major block would cost a Mosaic sublane->lane
-        # relayout PER TILE, and split interiors average ~1 chunk per tile
-        # (that transpose measured ~1.4 us/step of pure overhead on chip)
+        # PIXEL-major (lane-select write/read, no relayout); the tail call
+        # consumes it DIRECTLY as tile-indexed input blocks so XLA never
+        # touches the 16x-padded HBM layout (_carry_col docstring).
         carry_ref, t_run_sc, depth_sc, alive_sc, satd_sc = rest
     else:
         t_run_sc, depth_sc, alive_sc, satd_sc = rest
@@ -948,8 +946,19 @@ def _colx(block, row):
 
 
 def _carry_col(carr, j):
-    """(NPIX, 1) lane ``j`` of a pixel-major (NPIX, 8) carry array —
-    two VPU ops on a (256, 8) array, no relayout (split-layout carries)."""
+    """(NPIX, 1) lane ``j`` of a pixel-major (NPIX, 8) carry block —
+    two VPU ops on a (256, 8) array, no relayout (split-layout carries).
+
+    Why the carries stay pixel-major: the kernel state lives as (NPIX, 1)
+    columns, so pixel-major writes/reads are lane selects. The catch is the
+    HBM layout — a (T, NPIX, 8) array pads its 8-wide minor dim to 128
+    lanes (16x inflation), so any XLA-side gather/select/copy on it costs
+    ~1.6 ms (r5 on-chip profile; ~7 ms/iter total across the split
+    compose). The fix is routing: carries flow pallas-to-pallas as
+    tile-indexed input blocks of the tail calls, so XLA never materializes
+    an op on them. (An identity-matmul channel-major conversion was tried
+    first — its (8,8)-contraction form lowers to the very Mosaic relayout
+    it tried to avoid, and the tail kernels got 1.2 us/step SLOWER.)"""
     lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
     return jnp.sum(jnp.where(lane == j, carr, 0.0), axis=1, keepdims=True)
 
@@ -1460,7 +1469,8 @@ def _bwd_kernel_interior(
     phipm_ref,
     gct_ref,
     ginst_ref,
-    carry_ref,  # (1, 8, NPIX) out: row 0 = t_run (signed), row 1 = accwgc
+    carry_ref,  # (1, NPIX, 8) out (pixel-major, see _carry_col):
+    #             lane 0 = t_run (signed), lane 1 = accwgc
     t_run_sc,
     accwgc_sc,
     alive_sc,
@@ -1475,7 +1485,8 @@ def _bwd_kernel_interior(
     """Split-layout interior backward: the plain aligned step plus a
     per-tile carry write (the tail call seeds its segments from it). The
     carry is (1, NPIX, 8) pixel-major — lane 0 = t_run, lane 1 = accwgc —
-    and is skipped for SOLO tiles (no residue, nobody reads it)."""
+    routed pallas-to-pallas (see _carry_col), and is skipped for SOLO
+    tiles (no residue, nobody reads it)."""
     c = pl.program_id(0)
     nc = pl.num_programs(0)
     solo = lim_ref[c] >> 16
@@ -1503,11 +1514,19 @@ def _fwd_kernel_tail(
     tblk_ref,  # scalar-prefetch (NCt,) int32 stream block per chunk
     inst_ref,  # (ROWS, chunk) residue-pair stream chunk
     phi_ref,  # (NPIX, 27) bf16 power basis
-    carrp_ref,  # (1, 2, NPIX, 8) BOTH segments' interior fwd carries,
-    #             gathered per chunk XLA-side (garbage halves where the
-    #             has_interior flags are 0 — replaced by the initial state)
+    carra_ref,  # (1, NPIX, 8) segment A's interior fwd carry — a TILE-
+    #             indexed block of the interior call's carry output, DMA'd
+    #             directly (pallas-to-pallas; XLA never touches the
+    #             16x-padded pixel-major array — _carry_col docstring).
+    #             Garbage where has_interior_a == 0 (replaced by the
+    #             initial state in-kernel).
+    carrb_ref,  # (1, NPIX, 8) same for segment B (== A's tile when the
+    #             chunk holds a single residue)
     colorp_ref,  # (1, 2, NFEAT_PAD, NPIX) out: both residue contributions
-    auxp_ref,  # (1, 2, NPIX, 8) out: both tiles' FINAL aux (pixel-major)
+    auxp_ref,  # (1, 2, 8, NPIX) out: both tiles' FINAL aux (CHANNEL-major
+    #            — lane-dense HBM blocks for the XLA-side per-tile gather;
+    #            written via the aligned kernel's concat + (NPIX, 2).T
+    #            form, one small Mosaic transpose per segment)
     *,
     grid_x: int,
     chunk: int,
@@ -1516,12 +1535,14 @@ def _fwd_kernel_tail(
     """Split-layout tail forward: one chunk = up to two tiles' FINAL
     residues, seeded from the interior call's carries. Each tile finishes
     here, so this writes final color contributions AND final aux for both
-    segments. ALL per-step varying blocks are indexed BY CHUNK and carry
-    the (A, B) pair in one block: per-block DMA issue cost (~150 ns each,
-    tools/kernel_ablate.py) scales with block COUNT, not bytes, and does
-    NOT amortize with grid grouping — it dominated the first tail cut
-    (6 tile-indexed blocks/step). The compose gathers tiles back out with
-    one (T,)-row gather per array. Pads (lim == 0) write nothing."""
+    segments. Per-step varying blocks are indexed BY CHUNK with the (A, B)
+    pair in one block where XLA builds the operand (per-block DMA issue
+    cost ~150 ns each, tools/kernel_ablate.py — 6 tile-indexed blocks/step
+    dominated the first tail cut); the two CARRY blocks are the exception,
+    tile-indexed on purpose so the pixel-major carry array flows
+    pallas-to-pallas and XLA never pays its 16x-padded layout
+    (_carry_col docstring). The compose gathers tiles back out with one
+    (T,)-row gather per array. Pads (lim == 0) write nothing."""
     c = pl.program_id(0)
     ma = tmeta_ref[c]
     ta, hia = ma >> 1, ma & 1
@@ -1538,24 +1559,26 @@ def _fwd_kernel_tail(
     dep_v = jnp.where(col < lim, dep_row, 0.0)
 
     def _aux_pm(t_in, has_carry, carr, state, d_seg, segdep_max):
-        # PIXEL-major (NPIX, 8) final aux: lane 0 = median-depth accum,
-        # lane 1 = final T, lane 2 = sat depth. Lane selects instead of the
-        # aligned kernel's (NPIX, 2).T — a Mosaic relayout per STEP here
-        # (every tail chunk finalizes tiles); the compose transposes the
-        # whole array once XLA-side.
+        # CHANNEL-major (8, NPIX) final aux: row 0 = median-depth accum,
+        # row 1 = final T, row 2 = sat depth — the lane-dense HBM layout
+        # that keeps the XLA-side per-tile gather off the 16x-padded
+        # pixel-major form (~1.6 ms/op there, r5 profile). Same
+        # concat + (NPIX, 2).T form as the aligned kernel's per-tile aux
+        # write; one small Mosaic transpose per segment.
         entry_alive = jnp.max(t_in) > 0.0
         satd_carry = jnp.max(
             jnp.where(has_carry == 1, _carry_col(carr, 2), zero_c)
         )
         cand = jnp.where(entry_alive, segdep_max, satd_carry)
         sat = jnp.where(jnp.max(state) > 0.0, SAT_INF, cand)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
-        return jnp.where(
-            lane == 0,
-            d_seg,
-            jnp.where(
-                lane == 1, jnp.abs(state), jnp.where(lane == 2, sat, 0.0)
-            ),
+        dt = jnp.concatenate([d_seg, jnp.abs(state)], axis=1).T  # (2, NPIX)
+        return jnp.concatenate(
+            [
+                dt,
+                jnp.full((1, NPIX), sat, jnp.float32),
+                jnp.zeros((5, NPIX), jnp.float32),
+            ],
+            axis=0,
         )
 
     # single-residue chunk (~half the tail): the aligned step's math — one
@@ -1566,7 +1589,7 @@ def _fwd_kernel_tail(
         alpha, _, _, _, _, _, _, _ = _chunk_alpha_mxu(
             blk, phi_ref[:], ta, 0, lim, chunk, grid_x
         )
-        carr_a = carrp_ref[0, 0]
+        carr_a = carra_ref[0]
         t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
         t_before, t_cum, live, state_a = _chunk_transmittance(
             alpha, t_a, "mxu", chunk, terms=2
@@ -1599,8 +1622,8 @@ def _fwd_kernel_tail(
         alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
             blk, phi_ref[:], ta, tb, send, lim, chunk, grid_x
         )
-        carr_a = carrp_ref[0, 0]
-        carr_b = carrp_ref[0, 1]
+        carr_a = carra_ref[0]
+        carr_b = carrb_ref[0]
         t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
         t_b = jnp.where(hib == 1, _carry_col(carr_b, 0), init_t)
         t_before, t_cum, live, state_a, state_b = (
@@ -1653,7 +1676,10 @@ def _bwd_kernel_tail(
     phipm_ref,  # (2*NPIX, 27) merged power+moment basis
     gcp_ref,  # (1, 2, 16, NPIX) BOTH tiles' backward inputs, gathered per
     #           chunk XLA-side (per-block DMA cost — see _fwd_kernel_tail)
-    carrp_ref,  # (1, 2, NPIX, 8) both interior BWD carries (t_run, accwgc)
+    carra_ref,  # (1, NPIX, 8) segment A's interior BWD carry (pixel-major,
+    #             tile-indexed pallas-to-pallas block — _carry_col
+    #             docstring; lane 0 = t_run, lane 1 = accwgc)
+    carrb_ref,  # (1, NPIX, 8) same for segment B
     ginst_ref,  # (ROWS, chunk) out: gradient rows; ROW_GID = reduction key
     *,
     grid_x: int,
@@ -1727,7 +1753,7 @@ def _bwd_kernel_tail(
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
             blk, phipm_ref[0:NPIX, :], ta, 0, lim, chunk, grid_x
         )
-        carr_a = carrp_ref[0, 0]
+        carr_a = carra_ref[0]
         t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
         acc_a = jnp.where(hia == 1, _carry_col(carr_a, 1), zero_c)
         t_before, t_cum, live, _ = _chunk_transmittance(
@@ -1772,8 +1798,8 @@ def _bwd_kernel_tail(
         alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
             blk, phipm_ref[0:NPIX, :], ta, tb, send, lim, chunk, grid_x
         )
-        carr_a = carrp_ref[0, 0]
-        carr_b = carrp_ref[0, 1]
+        carr_a = carra_ref[0]
+        carr_b = carrb_ref[0]
         t_a = jnp.where(hia == 1, _carry_col(carr_a, 0), init_t)
         t_b = jnp.where(hib == 1, _carry_col(carr_b, 0), init_t)
         acc_a = jnp.where(hia == 1, _carry_col(carr_a, 1), zero_c)
@@ -2258,6 +2284,21 @@ def _pair_spec(*dims):
     )
 
 
+def _carr_spec_a():
+    """Segment A's (1, NPIX, 8) carry block, tile-indexed: the pixel-major
+    carry array flows interior-call -> tail-call without any XLA op on its
+    16x-padded HBM layout (_carry_col docstring)."""
+    return pl.BlockSpec(
+        (1, NPIX, 8), lambda c, tmeta, tsl, tbt, tblk: (tmeta[c] >> 1, 0, 0)
+    )
+
+
+def _carr_spec_b():
+    return pl.BlockSpec(
+        (1, NPIX, 8), lambda c, tmeta, tsl, tbt, tblk: (tbt[c] >> 1, 0, 0)
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _make_fwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
                         need_depth=True):
@@ -2277,17 +2318,18 @@ def _make_fwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
                 pl.BlockSpec(
                     (NPIX, 27), lambda c, tmeta, tsl, tbt, tblk: (0, 0)
                 ),
-                _pair_spec(NPIX, 8),
+                _carr_spec_a(),
+                _carr_spec_b(),
             ],
             out_specs=[
                 _pair_spec(NFEAT_PAD, NPIX),
-                _pair_spec(NPIX, 8),
+                _pair_spec(8, NPIX),
             ],
             scratch_shapes=[],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((nct, 2, NFEAT_PAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((nct, 2, NPIX, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nct, 2, 8, NPIX), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -2347,7 +2389,8 @@ def _make_bwd_call_tail(nct, num_tiles, grid_x, chunk, interpret,
                     lambda c, tmeta, tsl, tbt, tblk: (0, 0),
                 ),
                 _pair_spec(16, NPIX),
-                _pair_spec(NPIX, 8),
+                _carr_spec_a(),
+                _carr_spec_b(),
             ],
             out_specs=[
                 pl.BlockSpec(
@@ -2396,9 +2439,14 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
     ) + tuple(range(ROW_FEAT0, ROW_FEAT0 + nfeat))
 
     def _pair_rows(x, tmeta, tbt):
-        # (T, ...) per-tile array -> (NCt, 2, ...) per-chunk A/B pair rows
+        # (T, ...) per-tile array -> (NCt, 2, ...) per-chunk A/B pair rows.
+        # mode="clip": indices are valid tile ids by construction, and the
+        # default mode="fill" adds a full-array select pass (~1.7 ms on the
+        # carry arrays, r5 profile).
         pt = jnp.stack([tmeta >> 1, tbt >> 1], axis=-1)  # (NCt, 2)
-        rows = jnp.take(x, jax.lax.optimization_barrier(pt.ravel()), axis=0)
+        rows = jnp.take(
+            x, jax.lax.optimization_barrier(pt.ravel()), axis=0, mode="clip"
+        )
         return jax.lax.optimization_barrier(rows).reshape(
             (pt.shape[0], 2) + x.shape[1:]
         )
@@ -2407,16 +2455,21 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
         # (NCt, 2, ...) pair output -> (T, ...) per-tile rows
         flat = x.reshape((-1,) + x.shape[2:])
         idx = jnp.minimum(tcid * 2 + trole, flat.shape[0] - 1)
-        rows = jnp.take(flat, jax.lax.optimization_barrier(idx), axis=0)
+        rows = jnp.take(
+            flat, jax.lax.optimization_barrier(idx), axis=0, mode="clip"
+        )
         return jax.lax.optimization_barrier(rows)
 
     def _forward(attrs, gid, imeta, ilim, iblk, tmeta, tsl, tbt, tblk,
                  mask_int, has_tail, tcid, trole):
         stream = _build_stream(attrs, gid, chunk)
         color_i, aux_i, carry = fwd_int(imeta, ilim, iblk, stream, _phi_pow())
+        # carry flows pallas-to-pallas: the tail call DMAs tile-indexed
+        # blocks of it directly (two operands, one per segment) — an
+        # XLA-side pair gather on the pixel-major array paid its 16x-padded
+        # layout (~1.6 ms + a fill-select, r5 profile)
         colorp, auxp = fwd_tail(
-            tmeta, tsl, tbt, tblk, stream, _phi_pow(),
-            _pair_rows(carry, tmeta, tbt),
+            tmeta, tsl, tbt, tblk, stream, _phi_pow(), carry, carry
         )
         mi = mask_int[:, None, None]
         ht = has_tail[:, None, None]
@@ -2424,9 +2477,9 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
         color = jnp.where(mi, color_i, zc) + jnp.where(
             ht, _tail_rows(colorp, tcid, trole), zc
         )
-        # tail aux arrives PIXEL-major (kernel-side lane selects instead of
-        # per-step relayouts); gather per tile, transpose ONCE
-        aux_t = jnp.swapaxes(_tail_rows(auxp, tcid, trole), 1, 2)
+        # tail aux arrives CHANNEL-major (8, NPIX) — lane-dense HBM blocks
+        # (_aux_pm); the per-tile gather needs no transpose
+        aux_t = _tail_rows(auxp, tcid, trole)
         aux = jnp.where(
             ht, aux_t,
             jnp.where(mi, aux_i, jnp.asarray(_empty_aux_np())[None]),
@@ -2463,7 +2516,7 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
         )
         (ginst_t,) = bwd_tail(
             tmeta, tsl, tbt, tblk, stream, _phi_pm(),
-            _pair_rows(gct, tmeta, tbt), _pair_rows(carry_b, tmeta, tbt),
+            _pair_rows(gct, tmeta, tbt), carry_b, carry_b,
         )
         ginst = jnp.concatenate([ginst_i, ginst_t], axis=1)
         per_gauss = segment_reduce_by_key(ginst, ROW_GID, hist, value_rows)
