@@ -70,10 +70,8 @@ def parse_mode(base, mode: str | None):
             base = dataclasses.replace(base, reduction=tok)
         elif tok in ("mxu", "roll"):
             base = dataclasses.replace(base, scan_impl=tok)
-        elif tok in ("packed", "aligned", "split"):
+        elif tok in ("aligned", "split"):
             base = dataclasses.replace(base, layout=tok)
-        elif tok.startswith("g") and tok[1:].isdigit():
-            base = dataclasses.replace(base, grid_group=int(tok[1:]))
         elif tok.startswith("c") and tok[1:].isdigit():
             base = dataclasses.replace(base, chunk=int(tok[1:]))
         elif tok == "notrim":
@@ -126,7 +124,7 @@ def setup(
     )
 
     def kept(p):
-        # packed streams carry inter-segment pads; max_stream must cover them
+        # split streams carry tail-chunk pads; max_stream must cover them
         sr = getattr(p, "stream_rows", None)
         return int(p.num_instances) if sr is None else int(sr)
 

@@ -91,8 +91,9 @@ def _projection_jacobian(pts, cov3d, cam: Camera, active):
 def fisher_config(cfg: RasterConfig) -> RasterConfig:
     """The layout render_fisher actually bins with.
 
-    Always aligned windows: the fisher path bins per candidate pose, so the
-    packed layout's step savings never amortize over a frozen rebin here.
+    Always aligned windows: the fisher kernels are single-call (no split
+    interior/tail pair), and the fisher path bins per candidate pose so a
+    layout change would buy little over a frozen rebin anyway.
     """
     return (
         dataclasses.replace(cfg, layout="aligned")
@@ -138,7 +139,6 @@ def render_fisher(
     seed = jnp.zeros(NFEAT_PAD, jnp.float32).at[:3].set(seed_value)
     mom = fisher_moments(
         attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, seed,
-        grid_group=cfg_fisher.grid_group,
     )  # (N, 16)
 
     # close the chain to 3D means: F_d = (J^T M J)_dd per gaussian, folded

@@ -78,37 +78,35 @@ class RasterConfig:
     # compositing scan over tiles and all-reduces parameter grads over ICI.
     shard_axis: str | None = None
     # Stream layout for the Pallas kernels:
+    #   'split'   — DEFAULT. Per-tile WHOLE chunks laid out back-to-back
+    #               with zero waste (the "interior" region), plus all
+    #               tiles' sub-chunk residues PAIRED two-per-chunk into a
+    #               shared "tail" region (bin_gaussians_split). Two Pallas
+    #               calls per direction: the interior call runs the plain
+    #               aligned-step math and hands each tile's end state to
+    #               the tail call through an HBM carry block (routed
+    #               pallas-to-pallas); the tail call composites the residue
+    #               pairs with the segmented scan. ~34% fewer pair slots
+    #               than 'aligned' on SplaTAM scenes (+7% over the K/chunk
+    #               floor); 26.6 vs 25.6 Mpix/s on the r5 bench.
     #   'aligned' — each tile's segment is covered by chunk-ALIGNED windows
     #               of the sorted stream (skip-masked foreign head rows);
-    #               wastes ~avg chunk/2 masked slots per tile.
-    #   'packed'  — tile segments packed back-to-back with at most ONE
-    #               segment boundary per chunk (bin_gaussians_packed): big
-    #               tiles (count >= chunk) run contiguously, small tiles get
-    #               one chunk each. ~25% fewer grid steps on SplaTAM scenes;
-    #               the kernels composite two tiles per boundary chunk with
-    #               a segmented MXU transmittance scan + scratch handoff.
-    #   'split'   — per-tile WHOLE chunks laid out back-to-back with zero
-    #               waste (the "interior" region), plus all tiles' sub-chunk
-    #               residues PAIRED two-per-chunk into a shared "tail"
-    #               region (bin_gaussians_split). Two Pallas calls per
-    #               direction: the interior call runs the plain aligned-step
-    #               math and hands each tile's end state to the tail call
-    #               through an HBM carry block; the tail call composites the
-    #               residue pairs with the segmented scan. ~34% fewer pair
-    #               slots than 'aligned' on SplaTAM scenes (+7% over the
-    #               K/chunk floor).
-    layout: str = "aligned"
+    #               wastes ~avg chunk/2 masked slots per tile. Single
+    #               Pallas call per direction; the fisher path always uses
+    #               it (fisher_config).
+    # (A third layout, 'packed' — back-to-back segments with one boundary
+    # per chunk — was deleted in r5 after losing to aligned for two rounds;
+    # split composes the same segmented boundary step with zero-waste
+    # interiors and wins.)
+    layout: str = "split"
     # Cap on tail-region chunks for layout='split' (None = num_tiles + 1,
     # the one-residue-per-tile worst case). max_chunks caps the INTERIOR
     # region there (None = max_stream/chunk).
     max_chunks_tail: int | None = None
-    # Chunks per BACKWARD Pallas grid step (aligned layout only). The
-    # grouped kernel unrolls G chunk bodies per step, reading G window +
-    # G per-tile blocks through per-sub-chunk index maps — the fixed
-    # per-grid-step cost (~0.6 us of the 1.5 us bwd step at 7.7k steps:
-    # block DMA bookkeeping, const re-fetch, semaphores —
-    # tools/kernel_ablate.py) is paid once per group. Exact for any value;
-    # 1 = the ungrouped kernels.
+    # RETIRED (no-op, kept so configs that set it keep loading): grouped
+    # G-chunks-per-backward-step kernels measured NULL in r4 — per-step
+    # block DMAs are already hidden by Pallas's double buffering
+    # (PROFILE.md) — and were deleted in r5.
     grid_group: int = 1
 
     @property
@@ -260,12 +258,6 @@ def shrink_binned(binned, chunk: int, max_stream: int, max_chunks: int,
             binned.slot_pos, slot_pad
         ),
     )
-    if hasattr(binned, "padded_gid"):  # BinnedPacked
-        return binned._replace(
-            padded_gid=binned.padded_gid[:max_stream],
-            chunk_btile=binned.chunk_btile[:nc],
-            **common,
-        )
     return binned._replace(sorted_gid=binned.sorted_gid[:max_stream], **common)
 
 
@@ -587,233 +579,6 @@ def _expand_instances(
     )
 
 
-class BinnedPacked(NamedTuple):
-    """Depth-sorted instance stream PACKED back-to-back (layout='packed').
-
-    Tile segments are laid out contiguously with at most ONE segment
-    boundary per chunk, so the Pallas grid is ~the K/chunk floor instead of
-    per-tile aligned windows (~25% fewer grid steps on SplaTAM scenes):
-
-      * big tiles (count >= chunk) run back-to-back — a tile starting
-        mid-chunk always spills past the chunk end, so each chunk holds one
-        tile's tail + at most one tile's head;
-      * small tiles (0 < count < chunk) each occupy one chunk (rows
-        [0, count), pad tail) — isolating them preserves the one-boundary
-        invariant for ANY tile mix;
-      * empty tiles get one zero-lim chunk at the end (output init, same as
-        the aligned layout).
-
-    The kernels composite the two tiles of a boundary chunk with a
-    segmented MXU transmittance scan and hand the head tile's partial state
-    (color / T / suffix accumulators) to its first owned chunk through VMEM
-    scratch (pallas_raster.py packed kernels).
-    """
-
-    padded_gid: jax.Array  # (Ks,) int32 gaussian id per packed stream slot
-    # (pad slots hold an arbitrary id; kernels mask rows >= lim)
-    chunk_meta: jax.Array  # (NC,) int32 packed: stile << 1 | first
-    chunk_btile: jax.Array  # (NC,) int32 tile of rows [send, lim)
-    chunk_lim: jax.Array  # (NC,) int32 packed: send << 16 | lim; rows
-    # [0, min(send, lim)) belong to stile, [send, lim) to btile
-    chunk_blk: jax.Array  # (NC,) int32 stream block index per chunk
-    counts: jax.Array  # (T,) int32 instances per tile
-    gid_hist: jax.Array  # (N,) int32 surviving instances per gaussian
-    num_instances: jax.Array  # () int32 total instances emitted
-    padded_total: jax.Array  # () int32 used chunks * chunk
-    overflow: jax.Array  # () bool
-    stream_rows: jax.Array = None  # () int32 packed stream rows INCLUDING
-    # inter-segment pads (what max_stream must cover; empty-tile init chunks
-    # excluded — they read no stream rows)
-    slot_pos: jax.Array | None = None  # (K,) int32 (reduction='perm')
-    slot_off: jax.Array | None = None  # (N,) int32
-
-
-def bin_gaussians_packed(
-    proj: Projected,
-    cam: Camera,
-    cfg: RasterConfig,
-    opacities: jax.Array | None = None,
-    depth_cap: jax.Array | None = None,
-) -> BinnedPacked:
-    """Packed-stream binning (see BinnedPacked).
-
-    Same expansion/cull/sort as the aligned layout; only the stream
-    placement differs. The placement is fully vectorized (no sequential
-    scan): tiles are ordered bigs -> smalls -> empties with current counts,
-    so the one-boundary-per-chunk invariant holds by construction.
-    """
-    chunk = cfg.chunk
-    (
-        sorted_tile, sorted_gid, sorted_slot, tile_id, total, num_tiles,
-        total_kept, kept_hist, slot_off,
-    ) = _expand_instances(
-        proj, cam, cfg, opacities, carry_slot=cfg.reduction == "perm",
-        depth_cap=depth_cap, tile_rank=None,
-    )
-    k = cfg.max_instances
-    ks = cfg.max_stream or k
-    nc = cfg.max_chunks or (ks // chunk + num_tiles + 1)
-    t_len = num_tiles
-
-    tq = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tq, side="left").astype(
-        jnp.int32
-    )
-    counts = tile_start[1:] - tile_start[:-1]
-    sort_start = tile_start[:-1]
-
-    # order tiles bigs -> smalls -> empties (raster order within a class)
-    tiles = jnp.arange(t_len, dtype=jnp.int32)
-    cls = jnp.where(counts >= chunk, 0, jnp.where(counts > 0, 1, 2))
-    _, ord_tiles = jax.lax.sort(
-        (cls.astype(jnp.int32), tiles), num_keys=1, is_stable=True
-    )
-    ord_counts = jnp.take(counts, ord_tiles)
-    is_big = ord_counts >= chunk
-    is_small = (ord_counts > 0) & ~is_big
-    nbig = jnp.sum(is_big.astype(jnp.int32))
-    nsmall = jnp.sum(is_small.astype(jnp.int32))
-    nempty = t_len - nbig - nsmall
-
-    big_rows = jnp.where(is_big, ord_counts, 0)
-    big_end = jnp.cumsum(big_rows)
-    b_total = big_end[-1] if t_len else jnp.int32(0)
-    cb = (b_total + chunk - 1) // chunk  # big-region chunks
-    base = cb * chunk
-    ord_idx = jnp.arange(t_len, dtype=jnp.int32)
-    # packed start per ORDERED tile: bigs contiguous from 0, smalls one
-    # chunk each after the (rounded-up) big region, empties at the region
-    # end (zero rows)
-    packed_start_ord = jnp.where(
-        is_big,
-        big_end - big_rows,
-        jnp.where(is_small, base + (ord_idx - nbig) * chunk, base + nsmall * chunk),
-    )
-    kp = base + nsmall * chunk  # real stream rows incl. pads
-    used = cb + nsmall + nempty
-
-    # ---- per-chunk metadata ----------------------------------------------
-    c_idx = jnp.arange(nc, dtype=jnp.int32)
-    in_big = c_idx < cb
-    in_small = (c_idx >= cb) & (c_idx < cb + nsmall)
-    in_empty = (c_idx >= cb + nsmall) & (c_idx < used)
-    # big region: stile = ordered big whose segment covers row0 = c*chunk
-    big_starts_key = jnp.where(is_big, packed_start_ord, jnp.iinfo(jnp.int32).max)
-    bidx = (
-        jnp.searchsorted(big_starts_key, c_idx * chunk, side="right").astype(
-            jnp.int32
-        )
-        - 1
-    )
-    stile_idx = jnp.where(
-        in_big,
-        jnp.clip(bidx, 0, t_len - 1),
-        jnp.where(
-            in_small,
-            nbig + (c_idx - cb),
-            jnp.where(in_empty, nbig + nsmall + (c_idx - cb - nsmall), t_len - 1),
-        ),
-    )
-    stile_idx = jnp.clip(stile_idx, 0, t_len - 1)
-    stile = jnp.take(ord_tiles, stile_idx)
-    st_start = jnp.take(packed_start_ord, stile_idx)
-    st_count = jnp.take(ord_counts, stile_idx)
-    send = jnp.where(
-        in_big,
-        jnp.clip(st_start + st_count - c_idx * chunk, 1, chunk),
-        jnp.where(in_small, st_count, chunk),
-    )
-    lim = jnp.where(
-        in_big,
-        jnp.clip(b_total - c_idx * chunk, 0, chunk),
-        jnp.where(in_small, st_count, 0),
-    )
-    has_b = in_big & (send < lim)
-    btile = jnp.where(
-        has_b, jnp.take(ord_tiles, jnp.clip(stile_idx + 1, 0, t_len - 1)), stile
-    )
-    prev_stile = jnp.concatenate([jnp.full(1, -1, jnp.int32), stile[:-1]])
-    first = ((stile != prev_stile) & (c_idx < used)).astype(jnp.int32)
-    chunk_meta = (stile << 1) | first
-    chunk_lim = (send.astype(jnp.int32) << 16) | lim.astype(jnp.int32)
-    blk = jnp.where(in_big | in_small, jnp.minimum(c_idx, ks // chunk), 0)
-
-    # ---- packed gid stream -----------------------------------------------
-    # The stream slot -> sorted slot map comes from the CHUNK tables, not a
-    # per-position scatter-cumsum (an (Ks,)-sized scatter+cumsum measured
-    # ~11 ms per rebin on chip): slot j in chunk c belongs to stile if
-    # j%chunk < send else btile, and src = j + (sort_start - packed_start)
-    # of that tile — one (NC, 3) row gather by j//chunk + one final gid
-    # gather. Tables are (T,)/(NC,)-sized; all gathers ride the fast path.
-    pos = jnp.arange(ks, dtype=jnp.int32)
-    start_by_tile = (
-        jnp.zeros(t_len, jnp.int32).at[ord_tiles].set(packed_start_ord)
-    )
-    off_by_tile = sort_start - start_by_tile  # (T,) sort-vs-packed shift
-    ctable = jnp.stack(
-        [
-            send,
-            lim,
-            jnp.take(off_by_tile, stile),
-            jnp.take(off_by_tile, btile),
-        ],
-        axis=-1,
-    )  # (NC, 4)
-    crow = jnp.take(
-        ctable, jax.lax.optimization_barrier(jnp.minimum(pos // chunk, nc - 1)),
-        axis=0,
-    )
-    crow = jax.lax.optimization_barrier(crow)
-    r = pos % chunk
-    src = jnp.clip(
-        pos + jnp.where(r < crow[:, 0], crow[:, 2], crow[:, 3]), 0, k - 1
-    )
-    valid = (r < crow[:, 1]) & (pos < kp)
-    padded_gid = jnp.where(
-        valid,
-        jnp.take(sorted_gid, jax.lax.optimization_barrier(src)),
-        0,
-    )
-
-    slot_pos = None
-    if cfg.reduction == "perm":
-        # packed position of each SORTED stream position p — which IS the
-        # backward grid-output column (stream rows and output columns
-        # coincide in the packed layout)
-        p = jnp.arange(k, dtype=jnp.int32)
-        t_safe = jnp.clip(sorted_tile, 0, num_tiles - 1)
-        start_by_tile = (
-            jnp.zeros(t_len, jnp.int32).at[ord_tiles].set(packed_start_ord)
-        )
-        ttable = jnp.stack([start_by_tile, sort_start], axis=-1)
-        trow = ttable[t_safe]
-        ppos = trow[:, 0] + (p - trow[:, 1])
-        outcol = jnp.where(
-            (sorted_tile < num_tiles) & (ppos < kp) & (p < k),
-            jnp.minimum(ppos, nc * chunk),
-            nc * chunk,
-        )
-        _, slot_pos = jax.lax.sort(
-            (sorted_slot, outcol), num_keys=1, is_stable=False
-        )
-
-    return BinnedPacked(
-        padded_gid=padded_gid,
-        chunk_meta=chunk_meta,
-        chunk_btile=btile,
-        chunk_lim=chunk_lim,
-        chunk_blk=blk,
-        counts=counts,
-        gid_hist=kept_hist,
-        num_instances=total_kept,
-        padded_total=used * chunk,
-        overflow=(total > k) | (kp > ks) | (used > nc),
-        stream_rows=kp,
-        slot_pos=slot_pos,
-        slot_off=slot_off if cfg.reduction == "perm" else None,
-    )
-
-
 class BinnedSplit(NamedTuple):
     """Split stream layout (layout='split'): zero-waste interiors + paired
     residue tails.
@@ -1101,11 +866,9 @@ def bin_gaussians_csr(
     `chunk_meta` and `counts` keep true tile ids, so the kernels and their
     output index maps are unchanged.
 
-    ``cfg.layout == 'packed'`` dispatches to `bin_gaussians_packed` (the
+    ``cfg.layout == 'split'`` dispatches to `bin_gaussians_split` (the
     tile order is then internal; ``tile_rank`` is ignored).
     """
-    if cfg.layout == "packed":
-        return bin_gaussians_packed(proj, cam, cfg, opacities, depth_cap)
     if cfg.layout == "split":
         return bin_gaussians_split(proj, cam, cfg, opacities, depth_cap)
     chunk = cfg.chunk

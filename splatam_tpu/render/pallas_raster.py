@@ -433,12 +433,13 @@ def _meta(meta_ref, lim_ref, c):
 
 
 # ---------------------------------------------------------------------------
-# PACKED layout (binning.BinnedPacked): tile segments back-to-back, at most
-# one segment boundary per chunk. Rows [0, min(send, lim)) belong to the
-# chunk's stile (output-block owner), rows [send, lim) to btile (the next
-# tile's head); the head contribution is handed to btile's first owned chunk
-# through VMEM scratch (pend_*). ~25% fewer grid steps than aligned windows
-# on SplaTAM scenes (no skip-masked foreign rows, no per-tile alignment pad).
+# SEGMENTED-chunk helpers: a chunk holding TWO tiles' rows (split-layout
+# residue tails; columns [0, send) belong to tile A, [send, lim) to tile B)
+# runs a boundary-restarted MXU transmittance scan and per-column tile
+# frames. (The standalone 'packed' stream layout that first introduced
+# these was deleted in r5 — a measured loser vs aligned for two rounds,
+# PROFILE.md; the split layout composes the same segmented step with
+# zero-waste interior chunks and won.)
 # ---------------------------------------------------------------------------
 
 
@@ -454,49 +455,10 @@ def _seg_mask(send, chunk: int, strict: bool = False) -> jax.Array:
     return (tri & ((j < send) | (i >= send))).astype(jnp.bfloat16)
 
 
-def _chunk_transmittance_packed(alpha, t_run, send, chunk, terms=3):
-    """Segmented per-chunk transmittance (packed layout, mxu scan only).
-
-    Columns before ``send`` continue the stile's recursion from ``t_run``
-    (death in its sign, as in _chunk_transmittance); columns at/after
-    ``send`` start the next tile fresh from 1. Returns per-pair state plus
-    BOTH segment-end carries: stateA (stile's, -> t_run / aux) and stateB
-    (the head tile's, -> pend handoff; 1.0 when the chunk has no boundary
-    or only pad rows after ``send``).
-    """
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    cola = col < send
-    log1m = jnp.log(1.0 - alpha)  # not log1p — see _chunk_transmittance
-    # strict segmented mask -> exclusive cumsum = t_before directly
-    excl = _cumsum_mxu(log1m, _seg_mask(send, chunk, strict=True), terms)
-    base = jnp.where(cola, t_run, 1.0)
-    t_before = base * jnp.exp(excl)
-    t_cum = t_before * (1.0 - alpha)
-    live = t_cum >= T_STOP
-    big = jnp.float32(3.0e38)
-    # stile's carry: min live t_cum over its columns (monotone within the
-    # segment); dead pixels keep the signed pre-crossing t_run
-    m_a = jnp.min(
-        jnp.where(cola, jnp.where(live, t_cum, t_run), big),
-        axis=1, keepdims=True,
-    )
-    ta_end = jnp.min(jnp.where(cola, t_cum, big), axis=1, keepdims=True)
-    state_a = jnp.where(ta_end < T_STOP, -jnp.abs(m_a), m_a)
-    # head tile's carry: fresh base 1.0; pad columns (alpha 0) keep t_cum at
-    # the segment product, so including them is harmless
-    m_b = jnp.min(
-        jnp.where(cola, 1.0, jnp.where(live, t_cum, 1.0)),
-        axis=1, keepdims=True,
-    )
-    tb_end = jnp.min(jnp.where(cola, big, t_cum), axis=1, keepdims=True)
-    state_b = jnp.where(tb_end < T_STOP, -jnp.abs(m_b), m_b)
-    return t_before, t_cum, live, state_a, state_b
-
-
 def _chunk_transmittance_split(alpha, t_a, t_b, send, chunk, terms=2):
     """Segmented transmittance for SPLIT-layout tail chunks.
 
-    Like _chunk_transmittance_packed, but BOTH segments continue existing
+    Boundary-restarted segmented scan where BOTH segments continue existing
     recursions: columns [0, send) seed from ``t_a`` (tile A's interior-end
     carry, death in its sign) and columns [send, lim) from ``t_b``. Both
     segments END their tiles here (residues are final), so the returned
@@ -530,11 +492,11 @@ def _chunk_transmittance_split(alpha, t_a, t_b, send, chunk, terms=2):
     return t_before, t_cum, live, _state(cola, t_a), _state(~cola, t_b)
 
 
-def _chunk_alpha_packed(blk, phi27, stile, btile, send, lim, chunk, grid_x):
-    """_chunk_alpha_mxu with PER-COLUMN tile origins (packed layout).
+def _chunk_alpha_seg(blk, phi27, stile, btile, send, lim, chunk, grid_x):
+    """_chunk_alpha_mxu with PER-COLUMN tile origins (segmented chunks).
 
     Columns before ``send`` evaluate in stile's tile-local frame, the rest
-    in btile's; valid rows are [0, lim) (packed streams have no skip)."""
+    in btile's; valid rows are [0, lim) (segmented chunks have no skip)."""
     x = blk[ROW_X : ROW_X + 1, :]
     y = blk[ROW_Y : ROW_Y + 1, :]
     ca = blk[ROW_CA : ROW_CA + 1, :]
@@ -736,201 +698,6 @@ def _fwd_kernel(
             )
 
 
-def _fwd_kernel_packed(
-    meta_ref,  # scalar-prefetch (NC,) int32 packed stile<<1|first
-    lim_ref,  # scalar-prefetch (NC,) int32 packed send<<16|lim
-    btile_ref,  # scalar-prefetch (NC,) int32 tile of rows [send, lim)
-    blk_ref,  # scalar-prefetch (NC,) int32 stream block index per chunk
-    inst_ref,  # (ROWS, chunk) VMEM packed stream chunk
-    phi_ref,  # (NPIX, 27) bf16 constant power basis
-    color_ref,  # (1, NFEAT_PAD, NPIX) block of the STILE (channel-major)
-    aux_ref,  # (1, 8, NPIX)
-    t_run_sc,  # (NPIX, 1) stile's running transmittance (sign = death)
-    depth_sc,  # (NPIX, 1) stile's median-depth accumulator
-    pendc_sc,  # (NFEAT_PAD, NPIX) head tile's pending color contribution
-    pendt_sc,  # (NPIX, 1) head tile's pending transmittance carry
-    pendd_sc,  # (NPIX, 1) head tile's pending median-depth accumulator
-    satd_sc,  # (2,) SMEM f32: [0] stile's sat-depth candidate, [1] pend
-    *,
-    grid_x: int,
-    chunk: int,
-    need_depth: bool = True,
-):
-    """Packed-layout forward (see BinnedPacked).
-
-    One grid step = one packed chunk: rows [0, send) continue the stile
-    (output-block owner), rows [send, lim) start the next tile; the head
-    contribution accumulates into pend_* scratch and is consumed by that
-    tile's first owned chunk. Compositing semantics are identical to
-    _fwd_kernel (same reference constants, `forward.cu:261-423`)."""
-    c = pl.program_id(0)
-    nc = pl.num_programs(0)
-    t, first, send, lim = _meta(meta_ref, lim_ref, c)
-    bt = btile_ref[c]
-
-    @pl.when(c == 0)
-    def _():
-        # pend scratch is consumed by every `first` step (including c == 0,
-        # whose tile has no predecessor): prime it to the empty-head state
-        pendc_sc[:] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
-        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        if need_depth:
-            pendd_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
-        satd_sc[1] = 0.0
-
-    @pl.when(first == 1)
-    def _():
-        t_run_sc[:] = pendt_sc[:]
-        if need_depth:
-            depth_sc[:] = pendd_sc[:]
-        satd_sc[0] = satd_sc[1]
-
-    t_run = t_run_sc[:]
-    alive = jnp.max(t_run) > 0.0
-    boundary = send < lim
-    # a chunk that neither continues a live stile nor starts a new tile is
-    # pure dead-tile tail: skip the blend math (the saturation trim makes
-    # these rare; correctness never depends on the skip — dead pixels'
-    # negative carry zeroes their weights anyway)
-    run = (lim > 0) & (alive | boundary)
-
-    # single-tile chunk (~2/3 of the grid): exactly the aligned step's math
-    # — no per-column origin selects, plain triangular scan, one color
-    # matmul — plus empty-head pend resets
-    @pl.when(run & jnp.logical_not(boundary))
-    def _():
-        blk = inst_ref[:]
-        alpha, _, _, _, _, _, _, _ = _chunk_alpha_mxu(
-            blk, phi_ref[:], t, 0, lim, chunk, grid_x
-        )
-        # terms=2 — see _fwd_kernel (same accuracy budget, fwd == bwd)
-        t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, "mxu", chunk, terms=2
-        )
-        w = jnp.where(live, alpha * t_before, 0.0)
-        feats = blk[ROW_FEAT0:, :]
-        contrib = jax.lax.dot_general(
-            feats, w, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-
-        @pl.when(first == 1)
-        def _():
-            color_ref[0] = pendc_sc[:] + contrib
-
-        @pl.when(first == 0)
-        def _():
-            color_ref[0] += contrib
-
-        pendc_sc[:] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
-        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        if need_depth:
-            dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
-            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
-            depth_sc[:] += jnp.sum(
-                jnp.where(crossing, dep, 0.0), axis=1, keepdims=True
-            )
-            pendd_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
-        t_run_sc[:] = new_t_run
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        dep_v = jnp.where(col < lim, blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0)
-        satd_sc[0] = jnp.where(alive, jnp.max(dep_v), satd_sc[0])
-        satd_sc[1] = 0.0
-
-    # boundary chunk: two tiles, segmented scan, handoff into pend scratch
-    @pl.when(run & boundary)
-    def _():
-        blk = inst_ref[:]
-        alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
-            blk, phi_ref[:], t, bt, send, lim, chunk, grid_x
-        )
-        t_before, t_cum, live, state_a, state_b = (
-            _chunk_transmittance_packed(
-                alpha, t_run, send, chunk, terms=2
-            )
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        cola = col < send
-        w = jnp.where(live, alpha * t_before, 0.0)
-        wa = jnp.where(cola, w, 0.0)
-        wb = w - wa
-        feats = blk[ROW_FEAT0:, :]
-        contrib_a = jax.lax.dot_general(
-            feats, wa, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        contrib_b = jax.lax.dot_general(
-            feats, wb, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-
-        @pl.when(first == 1)
-        def _():
-            color_ref[0] = pendc_sc[:] + contrib_a
-
-        @pl.when(first == 0)
-        def _():
-            color_ref[0] += contrib_a
-
-        pendc_sc[:] = contrib_b
-        if need_depth:
-            dep = blk[ROW_DEPTH : ROW_DEPTH + 1, :]
-            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
-            cdep = jnp.where(crossing, dep, 0.0)
-            depth_sc[:] += jnp.sum(
-                jnp.where(cola, cdep, 0.0), axis=1, keepdims=True
-            )
-            pendd_sc[:] = jnp.sum(
-                jnp.where(cola, 0.0, cdep), axis=1, keepdims=True
-            )
-        t_run_sc[:] = state_a
-        pendt_sc[:] = state_b
-        # saturation-depth candidates: the max valid depth processed this
-        # step, tracked only while the owning tile was still alive at entry
-        valid = col < lim
-        dep_v = jnp.where(valid, blk[ROW_DEPTH : ROW_DEPTH + 1, :], 0.0)
-        dep_a = jnp.max(jnp.where(cola, dep_v, 0.0))
-        dep_b = jnp.max(jnp.where(cola, 0.0, dep_v))
-        satd_sc[0] = jnp.where(alive, dep_a, satd_sc[0])
-        satd_sc[1] = dep_b
-
-    @pl.when(jnp.logical_not(run))
-    def _():
-        # dead-tail / capacity-tail chunk: the output block may still be on
-        # its first visit (a dead tile's later chunks), so initialize it
-        @pl.when(first == 1)
-        def _():
-            color_ref[0] = pendc_sc[:]
-
-        pendc_sc[:] = jnp.zeros((NFEAT_PAD, NPIX), jnp.float32)
-        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        if need_depth:
-            pendd_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
-        satd_sc[1] = 0.0
-
-    @pl.when(_is_last(meta_ref, c, nc) == 1)
-    def _():
-        dt = jnp.concatenate(
-            [depth_sc[:] if need_depth else jnp.zeros((NPIX, 1), jnp.float32),
-             jnp.abs(t_run_sc[:])],
-            axis=1,
-        ).T
-        sat = jnp.where(
-            jnp.max(t_run_sc[:]) > 0.0, SAT_INF, satd_sc[0]
-        )
-        aux_ref[0] = jnp.concatenate(
-            [
-                dt,
-                jnp.full((1, NPIX), sat, jnp.float32),
-                jnp.zeros((5, NPIX), jnp.float32),
-            ],
-            axis=0,
-        )
-
-
 def _colx(block, row):
     """(NPIX, 1) column `row` of a channel-major (R, NPIX) block via a tiny
     one-hot matmul — a row -> column relayout would otherwise be a Mosaic
@@ -1010,13 +777,12 @@ def _bwd_chunk_body(
     need_depth: bool = True,
     ignore_skip: bool = False,
 ):
-    """One chunk's backward step — shared by the 1-chunk-per-grid-step
-    kernel and the grouped (grid_group > 1) kernel, which unrolls G of
-    these per grid step to amortize the fixed per-step cost
-    (tools/kernel_ablate.py: ~0.6 us of the 1.5 us bwd step is block
-    DMA/bookkeeping, paid per grid step). ``ignore_skip``: split-layout
-    interior tables repurpose the skip bits as the SOLO flag (skip is
-    structurally 0 there)."""
+    """One chunk's backward step — shared by the aligned kernel and the
+    split-layout interior kernel. ``ignore_skip``: split-layout interior
+    tables repurpose the skip bits as the SOLO flag (skip is structurally
+    0 there). (A grouped G-chunks-per-step variant existed through r4 and
+    measured NULL — per-step block DMAs are already hidden by Pallas's
+    double buffering, PROFILE.md — so it was deleted.)"""
     t, first, skip, lim = _meta(meta_ref, lim_ref, cabs)
     if ignore_skip:
         skip = 0
@@ -1196,271 +962,6 @@ def _bwd_kernel(
     )
 
 
-def _bwd_kernel_grouped(
-    meta_ref,
-    lim_ref,
-    blk_ref,
-    *refs,  # G window refs, phipm, G gct refs, ginst, then 5 scratch refs
-    group: int,
-    grid_x: int,
-    chunk: int,
-    scan_impl: str = "mxu",
-    need_depth: bool = True,
-):
-    """grid_group > 1: G sequential chunks per grid step (aligned layout).
-
-    Same math and carries as _bwd_kernel — the G window/per-tile blocks
-    arrive as G separate BlockSpec inputs (index maps at G*c + g), the
-    output block covers the G chunks' columns, and the fixed per-step cost
-    (DMA bookkeeping, const re-fetch, grid semaphores) is paid once per
-    group instead of once per chunk."""
-    insts = refs[:group]
-    phipm_ref = refs[group]
-    gcts = refs[group + 1 : 2 * group + 1]
-    ginst_ref = refs[2 * group + 1]
-    scratch = refs[2 * group + 2 :]
-    c = pl.program_id(0)
-    for g in range(group):
-        _bwd_chunk_body(
-            group * c + g, g * chunk, meta_ref, lim_ref, phipm_ref,
-            gcts[g], insts[g], ginst_ref, *scratch,
-            grid_x=grid_x, chunk=chunk, scan_impl=scan_impl,
-            need_depth=need_depth,
-        )
-
-
-def _bwd_kernel_packed(
-    meta_ref,
-    lim_ref,
-    btile_ref,
-    blk_ref,
-    inst_ref,  # (ROWS, chunk)
-    phipm_ref,  # (2*NPIX, 27) bf16 merged power+moment basis (_phi_pm_host)
-    gct_a_ref,  # (1, 16, NPIX) merged per-tile input (_ga_gdep_blocks), STILE
-    gct_b_ref,  # same for BTILE (the boundary head's tile)
-    ginst_ref,  # (ROWS, chunk) out: grads; row ROW_GID = reduction key
-    t_run_sc,  # (NPIX, 1)
-    accwgc_sc,  # (NPIX, 1) stile's running prefix of w * gc
-    pendt_sc,  # (NPIX, 1) head tile's pending transmittance carry
-    pendacc_sc,  # (NPIX, 1) head tile's pending w*gc prefix
-    gdep_a_sc,  # (NPIX, 1) per-tile constant: dL/d median depth (stile)
-    ga_a_sc,  # (NPIX, 1) per-tile constant (stile)
-    *,
-    grid_x: int,
-    chunk: int,
-    need_depth: bool = True,
-):
-    """Packed-layout backward: single front-to-back pass, two tiles per
-    boundary chunk (see _bwd_kernel for the math; `backward.cu:850-1224`).
-
-    Per-tile backward constants arrive precomputed (_ga_gdep_blocks); the
-    btile side is read per boundary step, the stile side lives in scratch
-    across the tile's chunks."""
-    c = pl.program_id(0)
-    t, first, send, lim = _meta(meta_ref, lim_ref, c)
-    bt = btile_ref[c]
-
-    @pl.when(c == 0)
-    def _():
-        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        pendacc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
-
-    @pl.when(first == 1)
-    def _():
-        t_run_sc[:] = pendt_sc[:]
-        accwgc_sc[:] = pendacc_sc[:]
-        if need_depth:
-            gdep_a_sc[:] = _colx(gct_a_ref[0], 8)
-        ga_a_sc[:] = _colx(gct_a_ref[0], 9)
-
-    t_run = t_run_sc[:]
-    alive = jnp.max(t_run) > 0.0
-    boundary = send < lim
-    run = (lim > 0) & (alive | boundary)
-
-    @pl.when(jnp.logical_not(run))
-    def _():
-        ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
-        ginst_ref[ROW_GID : ROW_GID + 1, :] = _row_key(
-            inst_ref[:], 0, lim, chunk
-        )
-        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        pendacc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
-
-    def _grad_rows(blk, xl, yl, dop_int, dpower, gdep_row):
-        """Shared per-instance gradient-row assembly (moment matmul +
-        per-instance recombination — see _bwd_kernel)."""
-        mom24 = jax.lax.dot_general(
-            phipm_ref[NPIX:, :],
-            _split2(dpower, axis=1),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )
-        mom = (
-            (mom24[0:8, :chunk] + mom24[0:8, chunk:])
-            + (mom24[8:16, :chunk] + mom24[8:16, chunk:])
-            + (mom24[16:24, :chunk] + mom24[16:24, chunk:])
-        )
-        s0, sx, sy, sxx, sxy, syy = (mom[i : i + 1, :] for i in range(6))
-        ca = blk[ROW_CA : ROW_CA + 1, :]
-        cb = blk[ROW_CB : ROW_CB + 1, :]
-        cc = blk[ROW_CC : ROW_CC + 1, :]
-        sdx = xl * s0 - sx
-        sdy = yl * s0 - sy
-        sdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
-        sdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
-        sdyy = yl * yl * s0 - 2.0 * yl * sy + syy
-        return jnp.concatenate(
-            [
-                -(ca * sdx + cb * sdy),
-                -(cc * sdy + cb * sdx),
-                -0.5 * sdxx,
-                -sdxy,
-                -0.5 * sdyy,
-                jnp.sum(dop_int, axis=0, keepdims=True),
-                gdep_row,
-                _row_key(blk, 0, lim, chunk),
-            ],
-            axis=0,
-        )
-
-    # single-tile chunk (~2/3 of the grid): the aligned step's math — one
-    # gc/gfeat matmul, plain triangular scan, scratch ga — plus pend resets
-    @pl.when(run & jnp.logical_not(boundary))
-    def _():
-        blk = inst_ref[:]
-        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_mxu(
-            blk, phipm_ref[0:NPIX, :], t, 0, lim, chunk, grid_x
-        )
-        tri = _triangular(chunk)
-        t_before, t_cum, live, new_t_run = _chunk_transmittance(
-            alpha, t_run, "mxu", chunk, terms=2
-        )
-        w = jnp.where(live, alpha * t_before, 0.0)
-        g_color = gct_a_ref[0, 0:NFEAT_PAD]
-        feats = blk[ROW_FEAT0:, :]
-        gc = jax.lax.dot_general(
-            g_color, feats, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        wgc = w * gc
-        prefix = accwgc_sc[:] + _cumsum_mxu(wgc, tri, terms=2)
-        dalpha = jnp.where(
-            live,
-            t_before * gc - (ga_a_sc[:] - prefix) / (1.0 - alpha),
-            0.0,
-        )
-        unclamped = keep & (raw < ALPHA_CAP)
-        dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
-        dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
-        if need_depth:
-            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
-            gdep_row = jnp.sum(
-                jnp.where(crossing, gdep_a_sc[:], 0.0), axis=0, keepdims=True
-            )
-        else:
-            gdep_row = jnp.zeros((1, chunk), jnp.float32)
-        grows = _grad_rows(blk, xl, yl, dop_int, dpower, gdep_row)
-        gfeat = jax.lax.dot_general(
-            g_color, w, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
-        t_run_sc[:] = new_t_run
-        pendt_sc[:] = jnp.ones((NPIX, 1), jnp.float32)
-        accwgc_sc[:] = accwgc_sc[:] + jnp.sum(wgc, axis=1, keepdims=True)
-        pendacc_sc[:] = jnp.zeros((NPIX, 1), jnp.float32)
-
-    # boundary chunk: two tiles (per-column origins/constants, segmented
-    # scan, btile-side ga/gdep recomputed from its input blocks), handoff
-    @pl.when(run & boundary)
-    def _():
-        blk = inst_ref[:]
-        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
-            blk, phipm_ref[0:NPIX, :], t, bt, send, lim, chunk, grid_x
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        cola = col < send
-
-        # seg (inclusive) feeds the wgc gradient cumsum below; the
-        # transmittance builds its own strict mask internally
-        seg = _seg_mask(send, chunk)
-        t_before, t_cum, live, state_a, state_b = (
-            _chunk_transmittance_packed(
-                alpha, t_run, send, chunk, terms=2
-            )
-        )
-        w = jnp.where(live, alpha * t_before, 0.0)
-
-        g_color_a = gct_a_ref[0, 0:NFEAT_PAD]  # (NFEAT_PAD, NPIX)
-        g_color_b = gct_b_ref[0, 0:NFEAT_PAD]
-        ga_b = _colx(gct_b_ref[0], 9)
-
-        feats = blk[ROW_FEAT0:, :]
-        gc_a = jax.lax.dot_general(
-            g_color_a, feats, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        gc_b = jax.lax.dot_general(
-            g_color_b, feats, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        gc = jnp.where(cola, gc_a, gc_b)
-        wgc = w * gc
-        # suffix = (ga - accwgc) - segmented cumsum; the stile's cross-chunk
-        # accumulator applies to its columns only (the head tile starts
-        # fresh), and both per-tile constants fold into the SAME where that
-        # already selected ga — see _bwd_kernel's one-op-saved note
-        rem = jnp.where(cola, ga_a_sc[:] - accwgc_sc[:], ga_b)
-        suffix = rem - _cumsum_mxu(wgc, seg, terms=2)
-
-        dalpha = jnp.where(
-            live,
-            t_before * gc - suffix / (1.0 - alpha),
-            0.0,
-        )
-        unclamped = keep & (raw < ALPHA_CAP)
-        dop_int = jnp.where(unclamped, dalpha * epow, 0.0)
-        dpower = jnp.where(grad_ok, dop_int, 0.0) * op_m
-
-        if need_depth:
-            gdep_b = _colx(gct_b_ref[0], 8)
-            gdep = jnp.where(cola, gdep_a_sc[:], gdep_b)
-            crossing = (t_before > 0.5) & (t_cum < 0.5) & live
-            gdep_row = jnp.sum(
-                jnp.where(crossing, gdep, 0.0), axis=0, keepdims=True
-            )
-        else:
-            gdep_row = jnp.zeros((1, chunk), jnp.float32)
-        grows = _grad_rows(blk, xl, yl, dop_int, dpower, gdep_row)
-        wa = jnp.where(cola, w, 0.0)
-        wb = w - wa
-        gfeat = jax.lax.dot_general(
-            g_color_a, wa, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            g_color_b, wb, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        ginst_ref[:] = jnp.concatenate([grows, gfeat], axis=0)
-
-        t_run_sc[:] = state_a
-        pendt_sc[:] = state_b
-        accwgc_sc[:] = accwgc_sc[:] + jnp.sum(
-            jnp.where(cola, wgc, 0.0), axis=1, keepdims=True
-        )
-        pendacc_sc[:] = jnp.sum(
-            jnp.where(cola, 0.0, wgc), axis=1, keepdims=True
-        )
-
-
 def _bwd_kernel_interior(
     meta_ref,
     lim_ref,
@@ -1619,7 +1120,7 @@ def _fwd_kernel_tail(
     @pl.when((lim > 0) & boundary)
     def _():
         blk = inst_ref[:]
-        alpha, _, _, _, _, _, _, _ = _chunk_alpha_packed(
+        alpha, _, _, _, _, _, _, _ = _chunk_alpha_seg(
             blk, phi_ref[:], ta, tb, send, lim, chunk, grid_x
         )
         carr_a = carra_ref[0]
@@ -1687,7 +1188,7 @@ def _bwd_kernel_tail(
     need_depth: bool = True,
 ):
     """Split-layout tail backward: segmented two-tile step seeded from the
-    interior backward's carries (see _bwd_kernel_packed for the math)."""
+    interior backward's carries (segmented two-tile analog of _bwd_chunk_body)."""
     c = pl.program_id(0)
     ma = tmeta_ref[c]
     ta, hia = ma >> 1, ma & 1
@@ -1795,7 +1296,7 @@ def _bwd_kernel_tail(
     @pl.when((lim > 0) & boundary)
     def _():
         blk = inst_ref[:]
-        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_packed(
+        alpha, raw, epow, op_m, xl, yl, keep, grad_ok = _chunk_alpha_seg(
             blk, phipm_ref[0:NPIX, :], ta, tb, send, lim, chunk, grid_x
         )
         carr_a = carra_ref[0]
@@ -1996,24 +1497,6 @@ def _fisher_kernel(
     )
 
 
-def _fisher_kernel_grouped(
-    meta_ref, lim_ref, blk_ref, *refs,
-    group: int, grid_x: int, chunk: int,
-):
-    """grid_group > 1 fisher: G chunks per grid step (see
-    _bwd_kernel_grouped — same fixed-per-step-cost amortization)."""
-    insts = refs[:group]
-    gcts = refs[group : 2 * group]
-    fish_ref = refs[2 * group]
-    scratch = refs[2 * group + 1 :]
-    c = pl.program_id(0)
-    for g in range(group):
-        _fisher_chunk_body(
-            group * c + g, g * chunk, meta_ref, lim_ref, insts[g], gcts[g],
-            fish_ref, *scratch, grid_x=grid_x, chunk=chunk,
-        )
-
-
 def _common_scratch():
     # t_run (sign = death), one per-kernel (NPIX, 1) accumulator, alive flag
     return [
@@ -2095,145 +1578,6 @@ def _make_bwd_call(nc, num_tiles, grid_x, chunk, interpret, scan_impl="mxu",
 
 
 @functools.lru_cache(maxsize=32)
-def _make_bwd_call_grouped(nc, num_tiles, grid_x, chunk, interpret, group,
-                           scan_impl="mxu", need_depth=True):
-    """Grouped bwd pallas_call: grid = nc/group, G window + G per-tile
-    blocks per step (see _bwd_kernel_grouped). ``nc`` must be a multiple of
-    ``group`` (rasterize_tiles_pallas pads the chunk tables)."""
-
-    def stream_spec(g):
-        return pl.BlockSpec(
-            (ROWS, chunk),
-            lambda c, meta, lim, blk, g=g: (0, blk[group * c + g]),
-        )
-
-    def gct_spec(g):
-        return pl.BlockSpec(
-            (1, 16, NPIX),
-            lambda c, meta, lim, blk, g=g: (meta[group * c + g] >> 1, 0, 0),
-        )
-
-    return pl.pallas_call(
-        functools.partial(
-            _bwd_kernel_grouped, group=group, grid_x=grid_x, chunk=chunk,
-            scan_impl=scan_impl, need_depth=need_depth,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nc // group,),
-            in_specs=[stream_spec(g) for g in range(group)]
-            + [
-                pl.BlockSpec(
-                    (2 * NPIX, 27), lambda c, meta, lim, blk: (0, 0)
-                ),
-            ]
-            + [gct_spec(g) for g in range(group)],
-            out_specs=[
-                pl.BlockSpec(
-                    (ROWS, group * chunk), lambda c, meta, lim, blk: (0, c)
-                )
-            ],
-            scratch_shapes=_common_scratch()
-            + [pltpu.VMEM((NPIX, 1), jnp.float32)] * 2,
-        ),
-        out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
-        interpret=interpret,
-    )
-
-
-def _tile_of4(c, meta, lim, btile, blk):
-    return (meta[c] >> 1, 0, 0)
-
-
-def _btile_of4(c, meta, lim, btile, blk):
-    return (btile[c], 0, 0)
-
-
-def _stream_spec4(chunk):
-    return pl.BlockSpec(
-        (ROWS, chunk), lambda c, meta, lim, btile, blk: (0, blk[c])
-    )
-
-
-def _const_spec4(cols):
-    return pl.BlockSpec(
-        (NPIX, cols), lambda c, meta, lim, btile, blk: (0, 0)
-    )
-
-
-@functools.lru_cache(maxsize=32)
-def _make_fwd_call_packed(nc, num_tiles, grid_x, chunk, interpret,
-                          need_depth=True):
-    return pl.pallas_call(
-        functools.partial(
-            _fwd_kernel_packed, grid_x=grid_x, chunk=chunk,
-            need_depth=need_depth,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(nc,),
-            in_specs=[_stream_spec4(chunk), _const_spec4(27)],
-            out_specs=[
-                pl.BlockSpec((1, NFEAT_PAD, NPIX), _tile_of4),
-                pl.BlockSpec((1, 8, NPIX), _tile_of4),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # t_run
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # depth acc
-                pltpu.VMEM((NFEAT_PAD, NPIX), jnp.float32),  # pend color
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend t_run
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend depth
-                pltpu.SMEM((2,), jnp.float32),  # sat depth (own, pend)
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, NFEAT_PAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
-        ],
-        interpret=interpret,
-    )
-
-
-@functools.lru_cache(maxsize=32)
-def _make_bwd_call_packed(nc, num_tiles, grid_x, chunk, interpret,
-                          need_depth=True):
-    return pl.pallas_call(
-        functools.partial(
-            _bwd_kernel_packed, grid_x=grid_x, chunk=chunk,
-            need_depth=need_depth,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(nc,),
-            in_specs=[
-                _stream_spec4(chunk),
-                pl.BlockSpec(
-                    (2 * NPIX, 27),
-                    lambda c, meta, lim, btile, blk: (0, 0),
-                ),
-                pl.BlockSpec((1, 16, NPIX), _tile_of4),
-                pl.BlockSpec((1, 16, NPIX), _btile_of4),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (ROWS, chunk), lambda c, meta, lim, btile, blk: (0, c)
-                )
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # t_run
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # accwgc
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend t_run
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # pend accwgc
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # gdep (stile)
-                pltpu.VMEM((NPIX, 1), jnp.float32),  # ga (stile)
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((ROWS, nc * chunk), jnp.float32)],
-        interpret=interpret,
-    )
-
-
-@functools.lru_cache(maxsize=32)
 def _make_fwd_call_split_int(nci, num_tiles, grid_x, chunk, interpret,
                              scan_impl="mxu", need_depth=True):
     """Interior fwd call: the aligned kernel + a per-tile carry output."""
@@ -2260,18 +1604,6 @@ def _make_fwd_call_split_int(nci, num_tiles, grid_x, chunk, interpret,
             jax.ShapeDtypeStruct((num_tiles, NPIX, 8), jnp.float32),
         ],
         interpret=interpret,
-    )
-
-
-def _atile_spec(rows):
-    return pl.BlockSpec(
-        (1, rows, NPIX), lambda c, tmeta, tsl, tbt, tblk: (tmeta[c] >> 1, 0, 0)
-    )
-
-
-def _btile_spec(rows):
-    return pl.BlockSpec(
-        (1, rows, NPIX), lambda c, tmeta, tsl, tbt, tblk: (tbt[c] >> 1, 0, 0)
     )
 
 
@@ -2527,102 +1859,6 @@ def _make_raster_fn_split(nci, nct, num_tiles, grid_x, chunk, nfeat,
 
 
 @functools.lru_cache(maxsize=32)
-def _make_raster_fn_packed(nc, num_tiles, grid_x, chunk, nfeat, interpret,
-                           reduction="sort", carry_depth=True):
-    """Packed-layout analog of _make_raster_fn (BinnedPacked streams)."""
-    fwd_call = _make_fwd_call_packed(
-        nc, num_tiles, grid_x, chunk, interpret, need_depth=carry_depth
-    )
-    bwd_call = _make_bwd_call_packed(
-        nc, num_tiles, grid_x, chunk, interpret, need_depth=carry_depth
-    )
-    value_rows = tuple(
-        i for i in range(ROW_GID) if carry_depth or i != ROW_DEPTH
-    ) + tuple(range(ROW_FEAT0, ROW_FEAT0 + nfeat))
-
-    @jax.custom_vjp
-    def raster(attrs, hist, padded_gid, meta, lim, btile, blk, slot_pos,
-               slot_off):
-        stream = _build_stream(attrs, padded_gid, chunk)
-        return fwd_call(meta, lim, btile, blk, stream, _phi_pow())
-
-    def raster_fwd(attrs, hist, padded_gid, meta, lim, btile, blk, slot_pos,
-                   slot_off):
-        stream = _build_stream(attrs, padded_gid, chunk)
-        color, aux = fwd_call(meta, lim, btile, blk, stream, _phi_pow())
-        return (color, aux), (
-            stream, hist, meta, lim, btile, blk, slot_pos, slot_off, color,
-            aux,
-        )
-
-    def raster_bwd(res, g):
-        (stream, hist, meta, lim, btile, blk, slot_pos, slot_off, color,
-         aux) = res
-        g_color, g_aux = g
-        gct = _ga_gdep_blocks(g_color, g_aux, color, aux)
-        (ginst,) = bwd_call(
-            meta, lim, btile, blk, stream, _phi_pm(), gct, gct,
-        )
-        if reduction == "perm":
-            per_gauss = segment_reduce_by_perm(
-                ginst, slot_pos, slot_off, value_rows
-            )
-        elif reduction == "scatter":
-            per_gauss = segment_reduce_by_scatter(
-                ginst, ROW_GID, hist.shape[0], value_rows
-            )
-        else:
-            per_gauss = segment_reduce_by_key(
-                ginst, ROW_GID, hist, value_rows
-            )
-        return (
-            per_gauss.T, None, None, None, None, None, None, None, None,
-        )
-
-    raster.defvjp(raster_fwd, raster_bwd)
-    return raster
-
-
-@functools.lru_cache(maxsize=32)
-def _make_fisher_call_grouped(nc, num_tiles, grid_x, chunk, interpret,
-                              group):
-    """Grouped fisher pallas_call (see _make_bwd_call_grouped)."""
-
-    def stream_spec(g):
-        return pl.BlockSpec(
-            (ROWS, chunk),
-            lambda c, meta, lim, blk, g=g: (0, blk[group * c + g]),
-        )
-
-    def gct_spec(g):
-        return pl.BlockSpec(
-            (1, 16, NPIX),
-            lambda c, meta, lim, blk, g=g: (meta[group * c + g] >> 1, 0, 0),
-        )
-
-    return pl.pallas_call(
-        functools.partial(
-            _fisher_kernel_grouped, group=group, grid_x=grid_x, chunk=chunk,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nc // group,),
-            in_specs=[stream_spec(g) for g in range(group)]
-            + [gct_spec(g) for g in range(group)],
-            out_specs=[
-                pl.BlockSpec(
-                    (FROWS, group * chunk), lambda c, meta, lim, blk: (0, c)
-                )
-            ],
-            scratch_shapes=_common_scratch()
-            + [pltpu.VMEM((NPIX, 1), jnp.float32)],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((FROWS, nc * chunk), jnp.float32)],
-        interpret=interpret,
-    )
-
-
-@functools.lru_cache(maxsize=32)
 def _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret):
     return pl.pallas_call(
         functools.partial(_fisher_kernel, grid_x=grid_x, chunk=chunk),
@@ -2784,8 +2020,7 @@ def segment_reduce_by_scatter(
 
 @functools.lru_cache(maxsize=32)
 def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
-                    reduction="sort", scan_impl="mxu", carry_depth=True,
-                    grid_group=1):
+                    reduction="sort", scan_impl="mxu", carry_depth=True):
     """custom-vjp'd rasterize: (N, ROWS) attrs -> (color, aux) per tile.
 
     The vjp boundary sits at the per-gaussian attribute table, so neither
@@ -2802,17 +2037,10 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
         nc, num_tiles, grid_x, chunk, interpret, scan_impl,
         need_depth=carry_depth,
     )
-    if grid_group > 1:
-        assert nc % grid_group == 0, (nc, grid_group)
-        bwd_call = _make_bwd_call_grouped(
-            nc, num_tiles, grid_x, chunk, interpret, grid_group, scan_impl,
-            need_depth=carry_depth,
-        )
-    else:
-        bwd_call = _make_bwd_call(
-            nc, num_tiles, grid_x, chunk, interpret, scan_impl,
-            need_depth=carry_depth,
-        )
+    bwd_call = _make_bwd_call(
+        nc, num_tiles, grid_x, chunk, interpret, scan_impl,
+        need_depth=carry_depth,
+    )
     # carry_depth=False drops the median-depth gradient row from the
     # reduction (callers whose loss provably has a zero median-depth
     # cotangent — the SLAM losses use the BLENDED depth channel); each
@@ -2837,13 +2065,7 @@ def _make_raster_fn(nc, num_tiles, grid_x, chunk, nfeat, interpret,
         stream, hist, meta, lim, blk, slot_pos, slot_off, color, aux = res
         g_color, g_aux = g
         gct = _ga_gdep_blocks(g_color, g_aux, color, aux)
-        if grid_group > 1:
-            (ginst,) = bwd_call(
-                meta, lim, blk, *([stream] * grid_group), _phi_pm(),
-                *([gct] * grid_group),
-            )
-        else:
-            (ginst,) = bwd_call(meta, lim, blk, stream, _phi_pm(), gct)
+        (ginst,) = bwd_call(meta, lim, blk, stream, _phi_pm(), gct)
         if reduction == "perm":
             per_gauss = segment_reduce_by_perm(
                 ginst, slot_pos, slot_off, value_rows
@@ -2925,35 +2147,17 @@ def fisher_moments(
     chunk: int,
     seed: jax.Array,  # (NFEAT_PAD,) per-channel backward seed (e.g. 1e-3 RGB)
     interpret: bool | None = None,
-    grid_group: int = 1,
 ) -> jax.Array:
     """Per-gaussian (N, 16) squared-gradient moments (see _fisher_kernel).
 
     Cols 0-14: upper triangle of sum_p v v^T over screen quantities
-    (x, y, conic a/b/c); col 15: sum_p (d opacity)^2. ``grid_group``
-    batches that many chunks per fisher grid step (same amortization as
-    the grouped backward).
+    (x, y, conic a/b/c); col 15: sum_p (d opacity)^2.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nc = binned.chunk_meta.shape[0]
-    if grid_group > 1:
-        pad = -nc % grid_group
-        if pad:  # see rasterize_tiles_pallas: first-cleared edge pad
-            tail = (binned.chunk_meta[-1:] & ~1).repeat(pad)
-            binned = binned._replace(
-                chunk_meta=jnp.concatenate([binned.chunk_meta, tail]),
-                chunk_lim=jnp.pad(binned.chunk_lim, (0, pad)),
-                chunk_blk=jnp.pad(binned.chunk_blk, (0, pad), mode="edge"),
-            )
-            nc += pad
     fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
-    if grid_group > 1:
-        fish_call = _make_fisher_call_grouped(
-            nc, num_tiles, grid_x, chunk, interpret, grid_group
-        )
-    else:
-        fish_call = _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret)
+    fish_call = _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret)
     stream = _build_stream(attrs, binned.sorted_gid, chunk)
     color, aux = fwd_call(
         binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
@@ -2969,16 +2173,10 @@ def fisher_moments(
         ],
         axis=1,
     )
-    if grid_group > 1:
-        (per_inst,) = fish_call(
-            binned.chunk_meta, binned.chunk_lim, binned.chunk_blk,
-            *([stream] * grid_group), *([gct] * grid_group),
-        )
-    else:
-        (per_inst,) = fish_call(
-            binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
-            gct,
-        )
+    (per_inst,) = fish_call(
+        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
+        gct,
+    )
     mom = segment_reduce_by_key(
         per_inst, FKEY_ROW, binned.gid_hist, tuple(range(16))
     )
@@ -2996,7 +2194,6 @@ def rasterize_tiles_pallas(
     reduction: str = "sort",
     scan_impl: str = "mxu",
     carry_depth: bool = True,
-    grid_group: int = 1,
 ) -> PallasRasterOut:
     """Run the Pallas per-chunk compositing kernels (differentiable).
 
@@ -3004,8 +2201,7 @@ def rasterize_tiles_pallas(
     reduction and ``carry_depth=False`` drops the median-depth row: callers
     may pass fewer than the rendered channel count ONLY when the upstream
     cotangents for the dropped rows are structurally zero (their per-
-    gaussian grads then come back as exact zeros). ``grid_group`` batches
-    that many chunks per backward grid step (aligned layout only).
+    gaussian grads then come back as exact zeros).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -3013,25 +2209,6 @@ def rasterize_tiles_pallas(
         # a cached BinnedCSR from a 'sort' config has no slot indices
         reduction = "sort"
     nc = binned.chunk_meta.shape[0]
-    if grid_group > 1 and not hasattr(binned, "chunk_btile") and not hasattr(
-        binned, "tsl"
-    ):
-        pad = -nc % grid_group
-        if pad:
-            # pad chunks repeat the LAST chunk's tile with the first bit
-            # CLEARED and skip == lim == 0: the run gate is false (zero
-            # grad rows keyed BIG_KEY, scratch untouched), and the fwd
-            # kernel's once-per-tile aux write simply moves from the last
-            # real chunk to the final pad chunk of the same tile —
-            # a zero-padded tile-0 meta would instead hijack tile 0's aux
-            # block with the last tile's scratch
-            tail = (binned.chunk_meta[-1:] & ~1).repeat(pad)
-            binned = binned._replace(
-                chunk_meta=jnp.concatenate([binned.chunk_meta, tail]),
-                chunk_lim=jnp.pad(binned.chunk_lim, (0, pad)),
-                chunk_blk=jnp.pad(binned.chunk_blk, (0, pad), mode="edge"),
-            )
-            nc += pad
     dummy = jnp.zeros(1, jnp.int32)
     if hasattr(binned, "tsl"):  # BinnedSplit stream
         nci = binned.chunk_meta.shape[0]
@@ -3048,21 +2225,9 @@ def rasterize_tiles_pallas(
             binned.tail_role,
         )
         return PallasRasterOut(color=color, aux=aux)
-    if hasattr(binned, "chunk_btile"):  # BinnedPacked stream
-        fn = _make_raster_fn_packed(
-            nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction,
-            carry_depth,
-        )
-        color, aux = fn(
-            attrs, binned.gid_hist, binned.padded_gid, binned.chunk_meta,
-            binned.chunk_lim, binned.chunk_btile, binned.chunk_blk,
-            binned.slot_pos if reduction == "perm" else dummy,
-            binned.slot_off if reduction == "perm" else dummy,
-        )
-        return PallasRasterOut(color=color, aux=aux)
     fn = _make_raster_fn(
         nc, num_tiles, grid_x, chunk, nfeat, interpret, reduction, scan_impl,
-        carry_depth, grid_group,
+        carry_depth,
     )
     color, aux = fn(
         attrs, binned.gid_hist, binned.sorted_gid, binned.chunk_meta,

@@ -342,7 +342,6 @@ def rasterize_tiled_blocks(
         nfeat=nfeat if grad_feats is None else grad_feats,
         reduction=cfg.reduction, scan_impl=cfg.scan_impl,
         carry_depth=carry_depth_grad,
-        grid_group=cfg.grid_group if cfg.layout == "aligned" else 1,
     )
     sat_raw = jax.lax.stop_gradient(res.aux[:, 2, 0])
     aux = RenderAux(

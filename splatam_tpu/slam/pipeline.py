@@ -132,9 +132,7 @@ class _RasterSizer:
                 binned, self.chunk, nc * self.chunk, nc,
                 max_chunks_tail=nct,
             )
-        stream = getattr(binned, "padded_gid", None)
-        if stream is None:
-            stream = binned.sorted_gid
+        stream = binned.sorted_gid
         ks = min(self.ks, stream.shape[0] // self.chunk * self.chunk)
         nc = min(self.nc, binned.chunk_meta.shape[0])
         if ks >= stream.shape[0] and nc >= binned.chunk_meta.shape[0]:

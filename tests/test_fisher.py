@@ -216,28 +216,3 @@ def test_sized_fisher_config_and_overflow_flag():
         with_overflow=True,
     )
     assert bool(over)
-
-
-def test_fisher_grouped_matches_ungrouped():
-    """grid_group > 1 (G chunks per fisher grid step) must reproduce the
-    ungrouped kernel's moments, including on a saturating scene where the
-    early-exit emits zero-gradient key rows and the chunk table pads to a
-    group multiple."""
-    import dataclasses
-
-    params, active, cam, n = _small_scene_params()
-    # saturate some tiles for early-exit + pad-chunk coverage
-    params = dict(params)
-    params["logit_opacities"] = params["logit_opacities"] + 2.0
-    rot = jnp.asarray([1.0, 0, 0, 0])
-    tran = jnp.zeros(3)
-    h_ref = render_fisher(params, active, rot, tran, cam, CFG, seed_value=SEED)
-    scale = float(jnp.abs(h_ref).max()) + 1e-20
-    for group in (2, 4):
-        cfg_g = dataclasses.replace(CFG, grid_group=group)
-        h_g = render_fisher(
-            params, active, rot, tran, cam, cfg_g, seed_value=SEED
-        )
-        np.testing.assert_allclose(
-            np.asarray(h_g) / scale, np.asarray(h_ref) / scale, atol=1e-6
-        )

@@ -526,48 +526,6 @@ def test_pallas_chunk256_matches_jnp(scan_impl):
         )
 
 
-@pytest.mark.parametrize("group", [2, 4])
-def test_grouped_bwd_gradients_match_jnp(group):
-    """grid_group > 1 (G chunks per backward grid step) must reproduce the
-    jnp oracle's gradients exactly like the ungrouped kernel, including on
-    a saturating scene (early-exit + pad-chunk key rows)."""
-    rng = np.random.default_rng(5)
-    means, colors, opacities, scales, quats, cam = make_scene(
-        rng, n=120, w=72, h=56
-    )
-    # push opacities up so some tiles saturate (early-exit coverage)
-    opacities = np.clip(opacities + 0.5, 0, 0.97)
-    cfg_g = RasterConfig(
-        max_instances=2**16, max_per_tile=1024, chunk=128,
-        backend="pallas", grid_group=group,
-    )
-    args = (
-        jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacities),
-        jnp.asarray(scales), jnp.asarray(quats), cam,
-    )
-
-    def loss(ms, cols, ops, cfg):
-        o, _ = rasterize_tiled(ms, cols, ops, args[3], args[4], cam, cfg=cfg)
-        return jnp.sum(o.color**2) + jnp.sum(o.depth)
-
-    out_g, aux_g = rasterize_tiled(*args, cfg=cfg_g)
-    out_j, _ = rasterize_tiled(*args, cfg=CFG_JNP)
-    assert not bool(aux_g.overflow)
-    np.testing.assert_allclose(
-        np.asarray(out_g.color), np.asarray(out_j.color), atol=1e-5,
-        rtol=1e-4,
-    )
-    g_g = jax.grad(loss, argnums=(0, 1, 2))(args[0], args[1], args[2], cfg_g)
-    g_j = jax.grad(loss, argnums=(0, 1, 2))(
-        args[0], args[1], args[2], CFG_JNP
-    )
-    for a, b in zip(g_g, g_j):
-        scale = np.abs(np.asarray(b)).max() + 1e-20
-        np.testing.assert_allclose(
-            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
-        )
-
-
 @pytest.mark.parametrize("saturate", [False, True])
 def test_split_layout_matches_jnp(saturate):
     """layout='split' (zero-waste interiors + carry-seeded residue tails)

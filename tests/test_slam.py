@@ -477,7 +477,7 @@ def test_long_slam_regression_ate_bounded():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("layout", ["aligned", "packed", "split"])
+@pytest.mark.parametrize("layout", ["aligned", "split"])
 def test_end_to_end_slam_pallas_backend(layout):
     """Full SLAM loop on the PALLAS backend (interpret mode on CPU) — the
     only coverage of the tile-layout loss, sat-depth rebin feedback and

@@ -58,7 +58,10 @@ def main():
     from splatam_tpu.render.geometry import TILE
 
     interpret = jax.default_backend() == "cpu"
-    b = benchmod.setup(n=args.n, w=args.w, h=args.h)
+    # the ablation rebuilds the ALIGNED bwd call shape; pin the layout (the
+    # bench default flipped to 'split' in r5 — its interior tables repurpose
+    # the skip bits as the SOLO flag and would misread here)
+    b = benchmod.setup("aligned", n=args.n, w=args.w, h=args.h)
     w, h, chunk = b["w"], b["h"], b["cfg"].chunk
     grid_x = (w + TILE - 1) // TILE
     grid_y = (h + TILE - 1) // TILE

@@ -15,7 +15,7 @@ overhead; if per-frame time is seconds-scale beyond that, hunt a python-int
 recompile first (CLAUDE.md).
 
 Usage: python tools/slam_bench.py [--frames 20] [--width 1200] [--height 680]
-       [--track_iters 40] [--map_iters 60] [--layout aligned|packed] [--json out]
+       [--track_iters 40] [--map_iters 60] [--layout split|aligned] [--json out]
 """
 from __future__ import annotations
 
@@ -102,7 +102,7 @@ def main():
     ap.add_argument("--track_iters", type=int, default=40)
     ap.add_argument("--map_iters", type=int, default=60)
     ap.add_argument("--layout", default="aligned",
-                    choices=["aligned", "packed"])
+                    choices=["split", "aligned"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "jnp"],
                     help="jnp = fast CPU smoke of the driver plumbing")
     ap.add_argument("--cpu", action="store_true",

@@ -43,7 +43,7 @@ def main():
 
     def make_cfg(backend):
         # mode string: backend plus -roll / -perm / -scatter / -align /
-        # -packed tokens
+        # -split tokens (default aligned so the token matrix composes)
         scan, red, align, layout = "mxu", "sort", False, "aligned"
         for tok in backend.split("-")[1:]:
             if tok == "roll":
@@ -52,7 +52,7 @@ def main():
                 red = tok
             elif tok == "align":
                 align = True
-            elif tok in ("packed", "split"):
+            elif tok == "split":
                 layout = tok
         return RasterConfig(
             max_instances=2**18, max_per_tile=1024, chunk=128,
@@ -80,7 +80,7 @@ def main():
     modes = (
         "pallas", "pallas-roll", "pallas-perm", "pallas-scatter",
         "pallas-align", "pallas-roll-perm-align",
-        "pallas-packed", "pallas-packed-perm", "pallas-split", "jnp",
+        "pallas-split", "jnp",
     )
     results = {}
     for backend in modes:
