@@ -111,6 +111,7 @@ def render_fisher(
     seed_value: float = 1e-3,
     binned=None,
     with_overflow: bool = False,
+    tile_color=None,
 ):
     """Diagonal Fisher H = [F(means3D) || F(opacity)] per gaussian, (N, 4).
 
@@ -120,9 +121,12 @@ def render_fisher(
     backward, SURVEY.md §7 hard-part #7).
 
     ``binned`` lets a caller share one binning between this and a same-pose
-    silhouette render (realtime/handler.py). ``with_overflow=True`` returns
-    ``(h, overflow)`` so callers running at snug `sized_fisher_config`
-    capacities can detect truncation and retry bigger.
+    silhouette render (realtime/handler.py); ``tile_color`` additionally
+    shares that render's forward tile blocks (fisher_moments docstring), so
+    the fused gains program runs ONE fwd pass per candidate instead of two.
+    ``with_overflow=True`` returns ``(h, overflow)`` so callers running at
+    snug `sized_fisher_config` capacities can detect truncation and retry
+    bigger.
     """
     pts, rots, scales, opac = _gaussian_frame(params, cam_rot, cam_tran)
     colors = params["rgb_colors"]
@@ -139,6 +143,7 @@ def render_fisher(
     seed = jnp.zeros(NFEAT_PAD, jnp.float32).at[:3].set(seed_value)
     mom = fisher_moments(
         attrs, binned, grid_x * grid_y, grid_x, cfg.chunk, seed,
+        tile_color=tile_color,
     )  # (N, 16)
 
     # close the chain to 3D means: F_d = (J^T M J)_dd per gaussian, folded
@@ -239,25 +244,53 @@ def render_gains(
     Fuses the per-candidate work of `send_gains` (`ros_handler.py:251-359`):
     the silhouette render (`ros_handler.py:299-311`) and, when
     ``h_train_inv`` is given, the Fisher render + EIG dot
-    (`ros_handler.py:832-836`) — sharing ONE binning between the two
-    renders and fetching three scalars instead of a full silhouette image
+    (`ros_handler.py:832-836`) — sharing ONE binning AND ONE forward pass
+    between the two renders (the sil count runs in tile layout against a
+    static valid-pixel mask, and the fwd tile blocks seed fisher_moments
+    directly), fetching three scalars instead of a full silhouette image
     plus an (N, 4) Hessian per candidate (~35 ms/dispatch tunnel tax each,
     tools/fisher_bench.py).
     """
-    from splatam_tpu.core.losses import render_for_loss
+    from splatam_tpu.core.losses import depth_silhouette_colors
+    from splatam_tpu.render.render_tiled import rasterize_tiled_blocks
 
     cfg_fisher = fisher_config(cfg)
     pts, rots, scales, opac = _gaussian_frame(params, cam_rot, cam_tran)
     proj = preprocess(pts, scales, rots, cam, active=active)
     binned = bin_gaussians_csr(proj, cam, cfg_fisher, opacities=opac)
 
-    out, aux = render_for_loss(
-        params, active, cam_rot, cam_tran, cam, cfg_fisher,
-        gaussians_grad=False, camera_grad=False, binned=binned,
-    )
-    sil = out.color[4]
-    g_sil = jnp.sum(sil < 0.5) / (cam.image_width * cam.image_height)
-    overflow = binned.overflow | aux.overflow
+    use_blocks = (
+        cfg_fisher.backend == "pallas"
+        or (cfg_fisher.backend == "auto" and jax.default_backend() == "tpu")
+    ) and cfg_fisher.chunk % 128 == 0
+    if use_blocks:
+        feats = jnp.concatenate(
+            [params["rgb_colors"],
+             depth_silhouette_colors(pts, cam.viewmatrix)],
+            axis=-1,
+        )
+        res, raux, _ = rasterize_tiled_blocks(
+            pts, feats, opac, scales, rots, cam, cfg_fisher, active=active,
+            binned=binned,
+        )
+        sil_blk = res.color[:, 4, :]  # (T, NPIX) tile-layout silhouette
+        g_sil = jnp.sum(
+            (sil_blk < 0.5) & _valid_pixel_mask(cam)
+        ) / (cam.image_width * cam.image_height)
+        overflow = binned.overflow | raux.overflow
+        tile_color = res.color
+    else:
+        # jnp / odd-chunk configs: image-path sil render, no block sharing
+        from splatam_tpu.core.losses import render_for_loss
+
+        out, aux = render_for_loss(
+            params, active, cam_rot, cam_tran, cam, cfg_fisher,
+            gaussians_grad=False, camera_grad=False, binned=binned,
+        )
+        sil = out.color[4]
+        g_sil = jnp.sum(sil < 0.5) / (cam.image_width * cam.image_height)
+        overflow = binned.overflow | aux.overflow
+        tile_color = None
 
     if h_train_inv is None:
         g_eig = jnp.zeros((), jnp.float32)
@@ -265,10 +298,29 @@ def render_gains(
         h, over_f = render_fisher(
             params, active, cam_rot, cam_tran, cam, cfg,
             seed_value=seed_value, binned=binned, with_overflow=True,
+            tile_color=tile_color,
         )
         g_eig = jnp.sum(h * h_train_inv)
         overflow = overflow | over_f
     return g_sil.astype(jnp.float32), g_eig, overflow
+
+
+def _valid_pixel_mask(cam: Camera) -> jax.Array:
+    """(T, NPIX) bool: which tile-block pixels land inside the image.
+
+    Tile blocks pad the image up to the 16x16 grid; a tile-layout pixel
+    count must exclude the pad pixels (an image-layout compose crops them,
+    but composing costs a full blocks->image shuffle per candidate).
+    """
+    gx = (cam.image_width + TILE - 1) // TILE
+    gy = (cam.image_height + TILE - 1) // TILE
+    t = np.arange(gx * gy, dtype=np.int32)[:, None]
+    p = np.arange(TILE * TILE, dtype=np.int32)[None, :]
+    gx_pix = (t % gx) * TILE + (p % TILE)
+    gy_pix = (t // gx) * TILE + (p // TILE)
+    return jnp.asarray(
+        (gx_pix < cam.image_width) & (gy_pix < cam.image_height)
+    )
 
 
 def fisher_gains_batch(

@@ -2147,22 +2147,31 @@ def fisher_moments(
     chunk: int,
     seed: jax.Array,  # (NFEAT_PAD,) per-channel backward seed (e.g. 1e-3 RGB)
     interpret: bool | None = None,
+    tile_color: jax.Array | None = None,
 ) -> jax.Array:
     """Per-gaussian (N, 16) squared-gradient moments (see _fisher_kernel).
 
     Cols 0-14: upper triangle of sum_p v v^T over screen quantities
-    (x, y, conic a/b/c); col 15: sum_p (d opacity)^2.
+    (x, y, conic a/b/c); col 15: sum_p (d opacity)^2. ``tile_color`` lets a
+    caller that already ran the forward at this pose/binning (the gains
+    path's silhouette render) pass its (T, NFEAT_PAD, NPIX) color blocks,
+    skipping this function's own fwd pass — the seed only weights rows the
+    two renders compute identically (RGB), so the moments are unchanged up
+    to the two preprocess fusions' f32 rounding.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nc = binned.chunk_meta.shape[0]
-    fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
     fish_call = _make_fisher_call(nc, num_tiles, grid_x, chunk, interpret)
     stream = _build_stream(attrs, binned.sorted_gid, chunk)
-    color, aux = fwd_call(
-        binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
-        _phi_pow(),
-    )
+    if tile_color is None:
+        fwd_call = _make_fwd_call(nc, num_tiles, grid_x, chunk, interpret)
+        color, aux = fwd_call(
+            binned.chunk_meta, binned.chunk_lim, binned.chunk_blk, stream,
+            _phi_pow(),
+        )
+    else:
+        color = tile_color
     g_color = jnp.broadcast_to(seed[None, :, None], color.shape)
     gtot = jnp.sum(color * g_color, axis=1)  # (T, NPIX)
     gct = jnp.concatenate(
