@@ -239,6 +239,37 @@ def rgbd_slam(
     state.cam, state.intrinsics, state.first_w2c = cam, k3, first_w2c
     state.scene_radius = scene_radius
 
+    # --- density-adaptive stream layout ------------------------------------
+    # The split layout's win is WINDOW WASTE (~chunk/2 masked slots per
+    # tile), which shrinks as tiles get denser, while its tail-chunk and
+    # binning overheads do not: measured crossover sits near 2 chunks/tile
+    # (200k bench scene, 212 inst/tile: split 26.6 vs aligned 25.4 Mpix/s;
+    # 900k scene, 308 inst/tile: split 52.3 vs aligned 45.7 ms/iter —
+    # PROFILE.md r5). SLAM maps backproject every pixel and run dense
+    # (>600 inst/tile), so configs that don't pin a layout get it resolved
+    # from frame 0's measured instance density, once per run.
+    if "layout" not in config.get("raster", {}):
+        from splatam_tpu.core.losses import count_instances
+
+        total0 = int(
+            jax.jit(count_instances)(
+                {k: v for k, v in params.items() if not k.startswith("cam_")},
+                variables["active"],
+                jnp.asarray(np.array([1, 0, 0, 0], np.float32)),
+                jnp.zeros(3, jnp.float32),
+                cam,
+            )
+        )
+        gx0 = (cam.image_width + 15) // 16
+        gy0 = (cam.image_height + 15) // 16
+        dens = total0 / max(gx0 * gy0, 1)
+        auto_layout = "split" if dens < 2 * raster_cfg.chunk else "aligned"
+        raster_cfg = dataclasses.replace(raster_cfg, layout=auto_layout)
+        print(
+            f"[info] auto layout: {auto_layout} "
+            f"({total0} instances, {dens:.0f}/tile at frame 0)"
+        )
+
     # separate-resolution cameras (`scripts/splatam.py:557-607`)
     from splatam_tpu.render.camera import setup_camera as _setup_camera
 

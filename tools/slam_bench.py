@@ -15,7 +15,7 @@ overhead; if per-frame time is seconds-scale beyond that, hunt a python-int
 recompile first (CLAUDE.md).
 
 Usage: python tools/slam_bench.py [--frames 20] [--width 1200] [--height 680]
-       [--track_iters 40] [--map_iters 60] [--layout split|aligned] [--json out]
+       [--track_iters 40] [--map_iters 60] [--layout auto|split|aligned] [--json out]
 """
 from __future__ import annotations
 
@@ -50,7 +50,9 @@ def make_config(args) -> dict:
             max_per_tile=1024,
             chunk=128,
             backend=args.backend,
-            layout=args.layout,
+            # 'auto': omit the key -> the pipeline resolves the layout from
+            # frame 0's measured instance density (slam/pipeline.py)
+            **({} if args.layout == "auto" else dict(layout=args.layout)),
         ),
         tracking=dict(
             use_gt_poses=False,
@@ -101,8 +103,8 @@ def main():
     ap.add_argument("--height", type=int, default=680)
     ap.add_argument("--track_iters", type=int, default=40)
     ap.add_argument("--map_iters", type=int, default=60)
-    ap.add_argument("--layout", default="aligned",
-                    choices=["split", "aligned"])
+    ap.add_argument("--layout", default="auto",
+                    choices=["auto", "split", "aligned"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "jnp"],
                     help="jnp = fast CPU smoke of the driver plumbing")
     ap.add_argument("--cpu", action="store_true",
