@@ -698,18 +698,50 @@ def _fwd_kernel(
             )
 
 
+def _dot_b2(a, b, dims):
+    """2x2-term bf16-split dot_general at DEFAULT precision (~16-bit
+    mantissa: three cross terms, the bf16xbf16 residual term is ~2^-16 and
+    dropped) — 3 MXU passes where precision=HIGHEST burns 6. Used for the
+    BACKWARD's small-K gradient matmuls (gc, gfeat), matching the
+    gradient-side terms=2 cumsum precedent (_cumsum_mxu docstring): only
+    gradients flow through them, and 16 mantissa bits sit inside the pinned
+    5e-5-of-scale pallas-vs-jnp gradient parity. The PRIMAL color matmuls
+    stay HIGHEST."""
+    a1 = a.astype(jnp.bfloat16)
+    ar = (a - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    b1 = b.astype(jnp.bfloat16)
+    br = (b - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dims,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return (d(a1, b1) + d(a1, br)) + d(ar, b1)
+
+
 def _colx(block, row):
     """(NPIX, 1) column `row` of a channel-major (R, NPIX) block via a tiny
     one-hot matmul — a row -> column relayout would otherwise be a Mosaic
-    transpose."""
+    transpose. The one-hot is EXACT in bf16, so a 2-term split of the block
+    (~16-bit mantissa; every _colx consumer is gradient-side) runs 2 MXU
+    passes where HIGHEST burns 6."""
     e = (
         jax.lax.broadcasted_iota(jnp.int32, (block.shape[0], 1), 0) == row
-    ).astype(jnp.float32)
-    return jax.lax.dot_general(
-        block, e, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.bfloat16)
+    b1 = block.astype(jnp.bfloat16)
+    br = (block - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x):
+        return jax.lax.dot_general(
+            x, e, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(b1) + d(br)
 
 
 def _carry_col(carr, j):
@@ -830,12 +862,9 @@ def _bwd_chunk_body(
         w = jnp.where(live, alpha * t_before, 0.0)
 
         feats = blk[ROW_FEAT0:, :]  # (NFEAT_PAD, C)
-        # gc[p, j] = sum_f g[f, p] * feat[f, j]
-        gc = jax.lax.dot_general(
-            g_color, feats, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        # gc[p, j] = sum_f g[f, p] * feat[f, j] — gradient-side, so the
+        # 3-pass bf16x2 split replaces the 6-pass HIGHEST (_dot_b2)
+        gc = _dot_b2(g_color, feats, (((0,), (0,)), ((), ())))
         # suffix sums: S[p, j] = sum over every instance after j of w * gc
         wgc = w * gc
         # suffix = (ga - accwgc) - cumsum: the per-tile constant and the
@@ -919,12 +948,8 @@ def _bwd_chunk_body(
             ],
             axis=0,
         )
-        # dL/dfeat[f, j] = sum_p g[f, p] * w[p, j]
-        gfeat = jax.lax.dot_general(
-            g_color, w, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (NFEAT_PAD, C)
+        # dL/dfeat[f, j] = sum_p g[f, p] * w[p, j] (gradient-side: _dot_b2)
+        gfeat = _dot_b2(g_color, w, (((1,), (0,)), ((), ())))  # (NFEAT_PAD, C)
         ginst_ref[:, col0 : col0 + chunk] = jnp.concatenate(
             [grows, gfeat], axis=0
         )
@@ -1263,11 +1288,7 @@ def _bwd_kernel_tail(
         w = jnp.where(live, alpha * t_before, 0.0)
         g_color_a = gcp_ref[0, 0, 0:NFEAT_PAD]
         feats = blk[ROW_FEAT0:, :]
-        gc = jax.lax.dot_general(
-            g_color_a, feats, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        gc = _dot_b2(g_color_a, feats, (((0,), (0,)), ((), ())))
         wgc = w * gc
         rem = _colx(gcp_ref[0, 0], 9) - acc_a
         suffix = rem - _cumsum_mxu(wgc, _triangular(chunk), terms=2)
@@ -1285,11 +1306,7 @@ def _bwd_kernel_tail(
             )
         else:
             gdep_row = jnp.zeros((1, chunk), jnp.float32)
-        gfeat = jax.lax.dot_general(
-            g_color_a, w, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        gfeat = _dot_b2(g_color_a, w, (((1,), (0,)), ((), ())))
         _rows_out(blk, xl, yl, dop_int, dpower, gdep_row, gfeat)
 
     # two-residue chunk: segmented scan, per-column tile constants
@@ -1314,16 +1331,8 @@ def _bwd_kernel_tail(
         g_color_a = gcp_ref[0, 0, 0:NFEAT_PAD]
         g_color_b = gcp_ref[0, 1, 0:NFEAT_PAD]
         feats = blk[ROW_FEAT0:, :]
-        gc_a = jax.lax.dot_general(
-            g_color_a, feats, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        gc_b = jax.lax.dot_general(
-            g_color_b, feats, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        gc_a = _dot_b2(g_color_a, feats, (((0,), (0,)), ((), ())))
+        gc_b = _dot_b2(g_color_b, feats, (((0,), (0,)), ((), ())))
         gc = jnp.where(cola, gc_a, gc_b)
         wgc = w * gc
         ga_a = _colx(gcp_ref[0, 0], 9)
@@ -1353,14 +1362,8 @@ def _bwd_kernel_tail(
 
         wa = jnp.where(cola, w, 0.0)
         wb = w - wa
-        gfeat = jax.lax.dot_general(
-            g_color_a, wa, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            g_color_b, wb, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+        gfeat = _dot_b2(g_color_a, wa, (((1,), (0,)), ((), ()))) + _dot_b2(
+            g_color_b, wb, (((1,), (0,)), ((), ()))
         )
         _rows_out(blk, xl, yl, dop_int, dpower, gdep_row, gfeat)
 
@@ -1438,6 +1441,9 @@ def _fisher_chunk_body(
         w = jnp.where(live, alpha * t_before, 0.0)
 
         feats = blk[ROW_FEAT0:, :]
+        # HIGHEST on purpose (unlike the render bwd's _dot_b2): the fisher
+        # tests pin capacity-shape invariance at 1e-6 of scale, and the
+        # bf16x2 split's truncation is chunk-partition-dependent
         gc = jax.lax.dot_general(
             g_color, feats, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,

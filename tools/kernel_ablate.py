@@ -143,7 +143,9 @@ def main():
 
             @pl.when(jnp.logical_not(run))
             def _():
-                ginst_ref[:] = jnp.zeros((ROWS, chunk), jnp.float32)
+                # elementwise zero (not a scalar splat): Mosaic rejects the
+                # (1,1)->(ROWS,chunk) both-dims broadcast in this context
+                ginst_ref[:] = inst_ref[:] * 0.0
 
             @pl.when(run)
             def _():
@@ -218,7 +220,12 @@ def main():
             # no tensor inputs at all: write a constant block. Pure per-step
             # grid/output-flush overhead.
             def k0(meta_ref, lim_ref, blk_ref, ginst_ref):
-                ginst_ref[:] = jnp.full((ROWS, chunk), 1.0, jnp.float32)
+                # iota + scalar ops, NOT a (1,1) splat: Mosaic has no
+                # both-dims vector.broadcast for a lone constant write
+                ginst_ref[:] = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ROWS, chunk), 1)
+                    .astype(jnp.float32) * 0.0 + 1.0
+                )
 
             return pl.pallas_call(
                 k0,
@@ -251,16 +258,18 @@ def main():
             def kp2(meta_ref, lim_ref, blk_ref, inst_ref, a_ref, b_ref,
                     ginst_ref, stage=stage):
                 if stage == "dma_phi":
-                    # bf16 consts: slice (no scalar vector.extract in bf16,
-                    # Mosaic restriction) and cast; (1,1) broadcasts
+                    # bf16 consts: slice + cast + rank-0 reduce (scalar
+                    # OPERANDS are fine; a (1,1) vector.broadcast is not)
                     ginst_ref[:] = (
                         inst_ref[:]
-                        + a_ref[0:1, 0:1].astype(jnp.float32)
-                        + b_ref[0:1, 0:1].astype(jnp.float32)
+                        + jnp.sum(a_ref[0:1, 0:1].astype(jnp.float32))
+                        + jnp.sum(b_ref[0:1, 0:1].astype(jnp.float32))
                     )
                 else:
                     ginst_ref[:] = (
-                        inst_ref[:] + a_ref[0, 0:1, 0:1] + b_ref[0, 0:1, 0:1]
+                        inst_ref[:]
+                        + jnp.sum(a_ref[0, 0:1, 0:1])
+                        + jnp.sum(b_ref[0, 0:1, 0:1])
                     )
 
             return pl.pallas_call(
