@@ -119,8 +119,12 @@ def setup(
             params, jnp.ones(n, bool), rot, tran, cam
         )
     )
+    # chunk=256 is the split layout's sweet spot on this scene (29.3 vs
+    # 28.7 Mpix/s at 128, 23.4 at 512 — r5 A/B): residues (~mean 64 at 128,
+    # ~128 at 256) pair near-perfectly into 256-wide tail chunks and the
+    # interior grid halves. A/B tokens: `aligned`, `c128`, `c512`.
     base, opts = parse_mode(
-        RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=128), mode
+        RasterConfig(max_instances=2**20, max_per_tile=1024, chunk=256), mode
     )
 
     def kept(p):

@@ -461,7 +461,9 @@ def _expand_instances(
     # fuses the consumers into the gather and lands it in S(1) scalar space
     # (~4 ms measured vs ~1.6 ms for the bare row gather — see CLAUDE.md on
     # profiling gathers in context)
-    grow = jnp.take(gtable, jax.lax.optimization_barrier(gid_safe), axis=0)
+    grow = gtable.at[jax.lax.optimization_barrier(gid_safe)].get(
+        mode="promise_in_bounds"
+    )  # indices pre-clipped; keep the fill/clamp fusion out of the gather
     grow = jax.lax.optimization_barrier(grow)  # (K, 8)
     local = slot - grow[:, 0]
     rect_w_safe = grow[:, 3]
@@ -512,14 +514,18 @@ def _expand_instances(
         ttab = jnp.stack(
             [_f(depth_cap), tile_rank.astype(jnp.int32)], axis=-1
         )  # (T, 2) int32
-        trow = jnp.take(ttab, jax.lax.optimization_barrier(tid0), axis=0)
+        trow = ttab.at[jax.lax.optimization_barrier(tid0)].get(
+            mode="promise_in_bounds"
+        )
         trow = jax.lax.optimization_barrier(trow)
         cap = jax.lax.bitcast_convert_type(trow[:, 0], jnp.float32)
         rk_pre = trow[:, 1]
         depth_f = jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32)
         dropped = dropped | (depth_f > cap * SAT_MARGIN)
     elif depth_cap is not None:
-        cap = jnp.take(depth_cap, jax.lax.optimization_barrier(tid0))
+        cap = depth_cap.at[jax.lax.optimization_barrier(tid0)].get(
+            mode="promise_in_bounds"
+        )
         cap = jax.lax.optimization_barrier(cap)
         depth_f = jax.lax.bitcast_convert_type(grow[:, 4], jnp.float32)
         dropped = dropped | (depth_f > cap * SAT_MARGIN)
@@ -532,9 +538,9 @@ def _expand_instances(
         # see alignment_order). Same barrier treatment as the depth_cap
         # lookup — keep the (T,)-table gather out of scalar-space fusions.
         if rk_pre is None:
-            rk_pre = jnp.take(
-                tile_rank, jax.lax.optimization_barrier(tid0)
-            )
+            rk_pre = tile_rank.at[
+                jax.lax.optimization_barrier(tid0)
+            ].get(mode="promise_in_bounds")
             rk_pre = jax.lax.optimization_barrier(rk_pre)
         tile_key = jnp.where(keep, rk_pre, num_tiles)
     else:
@@ -544,7 +550,9 @@ def _expand_instances(
     # surviving instances per gaussian = tiles_touched - dropped-in-group,
     # via cumsum over the (gid-major contiguous) pre-sort slot order
     dcum = jnp.cumsum((dropped & in_use).astype(jnp.int32))
-    seg_end = jnp.take(dcum, jnp.clip(offsets - 1, 0, k - 1))
+    seg_end = dcum.at[jnp.clip(offsets - 1, 0, k - 1)].get(
+        mode="promise_in_bounds"
+    )
     # contiguous groups: starts[g] == offsets[g-1], so the start boundary
     # is seg_end shifted — one N-sized gather instead of two
     seg_start = jnp.where(
@@ -805,8 +813,8 @@ def bin_gaussians_split(
     )
     ctable = jnp.stack([send_all, lim_all, offa_all, offb_all], axis=-1)
     pos = jnp.arange(ncall * chunk, dtype=jnp.int32)
-    crow = jnp.take(
-        ctable, jax.lax.optimization_barrier(pos // chunk), axis=0
+    crow = ctable.at[jax.lax.optimization_barrier(pos // chunk)].get(
+        mode="promise_in_bounds"
     )
     crow = jax.lax.optimization_barrier(crow)
     rr = pos % chunk
@@ -815,7 +823,9 @@ def bin_gaussians_split(
     )
     gid_split = jnp.where(
         rr < crow[:, 1],
-        jnp.take(sorted_gid, jax.lax.optimization_barrier(src)),
+        sorted_gid.at[jax.lax.optimization_barrier(src)].get(
+            mode="promise_in_bounds"
+        ),
         0,
     )
 

@@ -69,7 +69,8 @@ def test_tile_rank_render_and_grads_exact():
     """Binning under alignment_order (and under a RANDOM permutation — the
     stale-counts worst case) renders identically and matches gradients."""
     cfg = RasterConfig(
-        max_instances=2**16, max_per_tile=512, chunk=128, backend="pallas"
+        max_instances=2**16, max_per_tile=512, chunk=128,
+        backend="pallas", layout="aligned"
     )
     params, active, rot, tran, im, dep, cam = _scene(cfg)
 
@@ -114,7 +115,8 @@ def test_tile_rank_render_and_grads_exact():
 
 def test_tile_rank_saves_chunks_on_synthetic_scene():
     cfg = RasterConfig(
-        max_instances=2**17, max_per_tile=512, chunk=128, backend="pallas"
+        max_instances=2**17, max_per_tile=512, chunk=128,
+        backend="pallas", layout="aligned"
     )
     params, active, rot, tran, _, _, cam = _scene(cfg, w=160, h=128)
     binned0 = compute_binned(params, active, rot, tran, cam, cfg)
