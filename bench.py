@@ -10,8 +10,10 @@ working estimate from the reference's reported tracking-iteration times —
 2 fwd + 2 bwd of a 0.8 Mpix frame per ~15 ms iteration on datacenter GPUs).
 
 `python bench.py <mode>` A/B-tests RasterConfig levers, with `+`-separated
-tokens: reduction (sort|perm|scatter), scan_impl (mxu|roll), chunk (c256),
-saturation trim (notrim), window alignment (noalign).
+tokens: layout (split|aligned), reduction (sort|perm|scatter), scan_impl
+(mxu|roll), chunk (c128|c512; default 256), saturation trim (notrim),
+window alignment (noalign). The shipped default is layout=split at
+chunk=256 (PROFILE.md r5 ladder).
 """
 from __future__ import annotations
 
