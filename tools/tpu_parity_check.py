@@ -45,6 +45,7 @@ def main():
         # mode string: backend plus -roll / -perm / -scatter / -align /
         # -split tokens (default aligned so the token matrix composes)
         scan, red, align, layout = "mxu", "sort", False, "aligned"
+        chunk = 128
         for tok in backend.split("-")[1:]:
             if tok == "roll":
                 scan = "roll"
@@ -54,8 +55,10 @@ def main():
                 align = True
             elif tok == "split":
                 layout = tok
+            elif tok.startswith("c") and tok[1:].isdigit():
+                chunk = int(tok[1:])
         return RasterConfig(
-            max_instances=2**18, max_per_tile=1024, chunk=128,
+            max_instances=2**18, max_per_tile=1024, chunk=chunk,
             backend=backend.split("-")[0], scan_impl=scan, reduction=red,
             layout=layout,
         ), align
@@ -80,7 +83,7 @@ def main():
     modes = (
         "pallas", "pallas-roll", "pallas-perm", "pallas-scatter",
         "pallas-align", "pallas-roll-perm-align",
-        "pallas-split", "jnp",
+        "pallas-split", "pallas-split-c256", "jnp",
     )
     results = {}
     for backend in modes:
