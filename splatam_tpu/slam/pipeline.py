@@ -140,6 +140,18 @@ class _RasterSizer:
         return shrink_binned(binned, self.chunk, ks, nc)
 
 
+def resolve_auto_layout(
+    total_instances: int, num_tiles: int, chunk: int
+) -> str:
+    """Density-adaptive stream-layout choice (see the call site in
+    rgbd_slam): split's window-waste win shrinks as tiles get denser while
+    its tail/binning overheads don't — measured crossover near 2
+    chunks/tile (PROFILE.md r5: 212 inst/tile split wins, 308+ aligned
+    wins, SLAM maps 522+)."""
+    dens = total_instances / max(num_tiles, 1)
+    return "split" if dens < 2 * chunk else "aligned"
+
+
 def _bump_raster(cfg: RasterConfig) -> RasterConfig:
     """Double the instance capacities after an overflow (recompile event).
 
@@ -262,12 +274,14 @@ def rgbd_slam(
         )
         gx0 = (cam.image_width + 15) // 16
         gy0 = (cam.image_height + 15) // 16
-        dens = total0 / max(gx0 * gy0, 1)
-        auto_layout = "split" if dens < 2 * raster_cfg.chunk else "aligned"
+        auto_layout = resolve_auto_layout(
+            total0, gx0 * gy0, raster_cfg.chunk
+        )
         raster_cfg = dataclasses.replace(raster_cfg, layout=auto_layout)
         print(
             f"[info] auto layout: {auto_layout} "
-            f"({total0} instances, {dens:.0f}/tile at frame 0)"
+            f"({total0} instances, {total0 / max(gx0 * gy0, 1):.0f}/tile "
+            f"at frame 0)"
         )
 
     # separate-resolution cameras (`scripts/splatam.py:557-607`)

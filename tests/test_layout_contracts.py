@@ -59,3 +59,20 @@ def test_mark_visible_frustum():
     # off-screen but in front of the near plane is still "visible" (the
     # reference's NDC bound check is commented out)
     np.testing.assert_array_equal(vis, [True, False, False, True])
+
+
+def test_resolve_auto_layout_threshold():
+    """Density-adaptive layout pick (slam/pipeline.py): split below 2
+    chunks/tile, aligned at/above — calibrated by the r5 on-chip crossover
+    (212 inst/tile split wins, 308+ aligned wins, PROFILE.md)."""
+    from splatam_tpu.slam.pipeline import resolve_auto_layout
+
+    # bench scene shape: 683k instances / 3225 tiles = 212/tile -> split
+    assert resolve_auto_layout(683_000, 3225, 128) == "split"
+    # 900k scene: 992k instances / 3225 = 308/tile -> aligned
+    assert resolve_auto_layout(992_000, 3225, 128) == "aligned"
+    # SLAM density (522/tile) -> aligned
+    assert resolve_auto_layout(1_682_997, 3225, 128) == "aligned"
+    # threshold scales with chunk
+    assert resolve_auto_layout(992_000, 3225, 256) == "split"
+    assert resolve_auto_layout(0, 0, 128) == "split"  # degenerate: empty
